@@ -1,0 +1,101 @@
+"""Stable hashing + sketch kernels for dedup / fingerprinting.
+
+All hashes must be stable across processes and Ray workers (no Python
+``hash()``, which is salted per process). String hashing rides polars'
+native vectorized hash with fixed seeds (deterministic within this
+environment); the numeric mixing below is plain uint64 NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def stable_hash64_array(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string array (polars ahash with
+    fixed seeds -> deterministic across workers in this environment).
+    """
+    import polars as pl
+
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(strings)
+    else:
+        s = pl.Series(strings, dtype=pl.Utf8)
+    return s.hash(seed=42).to_numpy().astype(np.uint64)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Cheap uint64 bit mixer (public-domain splitmix64 finalizer)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def minhash_permutation_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) coefficient vectors for the universal-hash family
+    ``h_i(x) = (a_i * x + b_i) mod (2^61 - 1)``.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (num_perm,) of one document's shingle-hash set.
+
+    Vectorized outer product over (num_perm, n_shingles); empty docs
+    sign as all-max.
+    """
+    num_perm = len(a)
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, _MERSENNE61, dtype=np.uint64)
+    x = (np.asarray(shingle_hashes, dtype=np.uint64) >> np.uint64(3)) & _MERSENNE61
+    with np.errstate(over="ignore"):
+        hv = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE61
+    return hv.min(axis=1)
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-token shingle hashes of one document (Rabin-Karp style
+    polynomial combine of the per-token hashes). len<k docs hash their
+    full token run once.
+    """
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    if len(h) == 0:
+        return h
+    n = max(len(h) - k + 1, 1)
+    kk = min(k, len(h))
+    acc = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(kk):
+            acc = acc * B + h[j:j + n]
+    return np.unique(acc)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of one document: per-bit weighted majority vote of
+    token hashes.
+    """
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    w = np.ones(len(h)) if weights is None else np.asarray(weights, dtype=np.float64)
+    votes = (w[:, None] * (2 * bits - 1)).sum(axis=0)
+    return int(np.uint64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (broadcasts)."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+    shape = x.shape
+    bytes_view = np.ascontiguousarray(x).reshape(-1, 1).view(np.uint8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64).reshape(shape)
