@@ -33,9 +33,12 @@ class PipelineConfig:
     # concurrency is the actor-pool size for stateful stages. On a real
     # cluster these scale with the node count; the streaming executor
     # handles backpressure either way.
+    # Pool minimums stay at 1: with several actor-pool stages in one
+    # pipeline, minimums that sum to the CPU count starve the read/task
+    # stages and wedge the stream. Autoscaling grows pools under load.
     batch_size: int = 4096
-    matcher_concurrency: int | tuple[int, int] = (2, 8)
-    pip_concurrency: int | tuple[int, int] = (2, 8)
+    matcher_concurrency: int | tuple[int, int] = (1, 8)
+    pip_concurrency: int | tuple[int, int] = (1, 4)
 
     # kNN
     knn_k: int = 3

@@ -1,0 +1,134 @@
+"""The flagship end-to-end pipeline (SURVEY §3.4):
+
+    read_parquet(pages)
+      -> extract_text (stateless, drops html early)
+      -> GazetteerMatcher (actor pool, broadcast automaton)
+      -> MentionResolver (actor pool, vet + wide columns)
+      -> cell encode (stateless: s2_cell + h3-style hex res 7/8/9)
+      -> PIPJoin (actor pool, broadcast STRtree)
+      -> [optional] KNNFacilities (actor pool, broadcast index)
+      -> forks: page-level parquet / tile aggregates
+
+All pipeline builders are lazy — they return Datasets; the caller
+consumes (write_parquet / iter_batches / to_pandas on small results).
+None of them call ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from batch_geocode_ray.config import PipelineConfig
+from batch_geocode_ray.functions.cells import hex_cell, s2_cell
+from batch_geocode_ray.sources.fixtures import LANG_CC_PRIOR
+from batch_geocode_ray.stages.aggregates import tile_aggregate
+from batch_geocode_ray.stages.extract import extract_text_stage
+from batch_geocode_ray.stages.knn import FacilityIndex, KNNFacilities
+from batch_geocode_ray.stages.matcher import GazetteerMatcher
+from batch_geocode_ray.stages.pip import PIPJoin, PolygonIndex
+from batch_geocode_ray.stages.resolve import MentionResolver
+from batch_geocode_ray.state.gazetteer import GazetteerIndex
+
+
+def encode_cells_stage(batch: pa.Table, resolutions=(7, 8, 9), s2_level: int = 12,
+                       lon_col: str = "best_long", lat_col: str = "best_lat") -> pa.Table:
+    """Stateless cell encoding of the vetted best point; rows without a
+    best point get null cells."""
+    lon = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    lat = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    ok = ~(np.isnan(lon) | np.isnan(lat))
+    safe_lon = np.where(ok, lon, 0.0)
+    safe_lat = np.where(ok, lat, 0.0)
+    for res in resolutions:
+        cells = hex_cell(safe_lon, safe_lat, res).astype(np.int64)
+        batch = batch.append_column(
+            f"h3_cell_r{res}",
+            pa.array(np.where(ok, cells, 0), pa.int64(), mask=~ok))
+    s2 = s2_cell(safe_lon, safe_lat, s2_level).astype(np.int64)
+    batch = batch.append_column("s2_cell", pa.array(np.where(ok, s2, 0), pa.int64(), mask=~ok))
+    return batch
+
+
+def build_geocode_pipeline(pages_path: str | list[str],
+                           gazetteer: pa.Table,
+                           admin_polygons: pa.Table | None = None,
+                           facilities: pa.Table | None = None,
+                           cfg: PipelineConfig | None = None,
+                           lang_cc_prior=None,
+                           verify_extraction: bool = False,
+                           with_knn: bool = False) -> Dataset:
+    """Page-level geocode Dataset: url/lang + wide geocode columns +
+    cells + admin assignment (+ optional kNN)."""
+    gaz_index = GazetteerIndex.from_table(gazetteer)
+    cfg = cfg or PipelineConfig(sources=gaz_index.sources)
+    if lang_cc_prior is None:
+        lang_cc_prior = LANG_CC_PRIOR
+    gaz_ref = ray.put(gaz_index)
+
+    ds = rd.read_parquet(pages_path)
+    ds = ds.map_batches(
+        lambda b: extract_text_stage(b, verify_against_input=verify_extraction),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        GazetteerMatcher,
+        fn_constructor_kwargs={"gazetteer": gaz_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.matcher_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        MentionResolver,
+        fn_constructor_kwargs={
+            "gazetteer": gaz_ref,
+            "config": cfg,
+            "lang_cc_prior": lang_cc_prior,
+            "keep_columns": ["url", "warc_ts", "lang"],
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.matcher_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda b: encode_cells_stage(b, cfg.hex_resolutions, cfg.s2_level),
+        batch_format="pyarrow",
+    )
+    if admin_polygons is not None:
+        poly_ref = ray.put(PolygonIndex(admin_polygons))
+        ds = ds.map_batches(
+            PIPJoin,
+            fn_constructor_kwargs={"polygons": poly_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.pip_concurrency,
+            num_cpus=1,
+        )
+    if with_knn and facilities is not None:
+        fac_ref = ray.put(FacilityIndex(facilities))
+        ds = ds.map_batches(
+            KNNFacilities,
+            fn_constructor_kwargs={"facilities": fac_ref, "k": cfg.knn_k},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.pip_concurrency,
+            num_cpus=1,
+        )
+    return ds
+
+
+def build_tile_aggregates(page_ds: Dataset, res: int = 7) -> Dataset:
+    """Choropleth tile stats per hex cell at ``res``, sorted by cell for
+    deterministic golden output."""
+    import pyarrow.compute as pc
+
+    cell_col = f"h3_cell_r{res}"
+    with_cell = page_ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[cell_col])), batch_format="pyarrow")
+    return tile_aggregate(with_cell, cell_col).sort(cell_col)

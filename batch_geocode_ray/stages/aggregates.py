@@ -1,0 +1,96 @@
+"""Tile / summary aggregation (SURVEY §2.6 A3/A4) — shuffle-light.
+
+The scalable shape: **pre-aggregate inside map_batches** (pyarrow's C++
+hash group-by collapses each batch to one row per cell — a hot
+mega-city cell collapses to ONE partial row per batch, which is what
+kills skew), then a small ``groupby(cell).aggregate(Sum/Min/Max)``
+over the partials, then a cheap finalize (mean = sum/count). The
+all-to-all exchange only ever carries ~n_cells x n_blocks rows, not
+n_pages.
+
+``salted_groupby_map_groups`` is the explicit salted two-stage pattern
+for group logic that can't pre-combine (arbitrary ``map_groups`` fns):
+groupby((key, salt)) partial -> groupby(key) final. A correctness test
+pins salted == unsalted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+
+def cell_partial_aggregate(batch: pa.Table, cell_col: str, buffer_col: str = "best_buffer") -> pa.Table:
+    """Per-batch combiner: one row per cell with count / sum / min / max
+    of the buffer column (null buffers excluded from stats but counted
+    as pages)."""
+    t = pa.table({
+        cell_col: batch[cell_col],
+        "_buf": batch[buffer_col],
+        "_has": pc.is_valid(batch[buffer_col]).cast(pa.int64()),
+    })
+    g = t.group_by(cell_col).aggregate([
+        ("_buf", "sum"),
+        ("_buf", "min"),
+        ("_buf", "max"),
+        ("_has", "sum"),
+        (cell_col, "count"),
+    ])
+    return g.rename_columns([cell_col, "buf_sum", "buf_min", "buf_max", "buf_n", "pages"])
+
+
+def tile_aggregate(ds: Dataset, cell_col: str, buffer_col: str = "best_buffer") -> Dataset:
+    """Full two-stage tile aggregate: partial per batch, Sum/Min/Max
+    merge per cell, finalize mean. Output columns:
+    (cell_col, pages, mean_buffer, min_buffer, max_buffer).
+    """
+    partials = ds.map_batches(
+        lambda b: cell_partial_aggregate(b, cell_col, buffer_col),
+        batch_format="pyarrow",
+    )
+    merged = partials.groupby(cell_col).aggregate(
+        Sum("pages", alias_name="pages"),
+        Sum("buf_sum", alias_name="buf_sum"),
+        Sum("buf_n", alias_name="buf_n"),
+        Min("buf_min", alias_name="min_buffer"),
+        Max("buf_max", alias_name="max_buffer"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["buf_n"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        s = np.asarray(b["buf_sum"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        return pa.table({
+            cell_col: b[cell_col],
+            "pages": b["pages"],
+            "mean_buffer": pa.array(mean, pa.float64(), from_pandas=True),
+            "min_buffer": b["min_buffer"],
+            "max_buffer": b["max_buffer"],
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def salted_groupby_map_groups(ds: Dataset, key: str, partial_fn, final_fn,
+                              num_salts: int = 16, batch_format: str = "pandas") -> Dataset:
+    """Two-stage skew-resistant grouped computation.
+
+    ``partial_fn(group_df) -> df`` runs per (key, salt) group;
+    ``final_fn(group_df) -> df`` merges a key's partials. The salt is a
+    deterministic hash of the row position within batch + key so hot
+    keys split across ``num_salts`` groups.
+    """
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        h = np.arange(b.num_rows, dtype=np.int64)
+        salt = (h % num_salts).astype(np.int64)
+        return b.append_column("_salt", pa.array(salt, pa.int64()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    stage1 = salted.groupby([key, "_salt"]).map_groups(partial_fn, batch_format=batch_format)
+    return stage1.groupby(key).map_groups(final_fn, batch_format=batch_format)
