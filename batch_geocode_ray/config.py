@@ -39,6 +39,14 @@ class PipelineConfig:
     batch_size: int = 4096
     matcher_concurrency: int | tuple[int, int] = (1, 8)
     pip_concurrency: int | tuple[int, int] = (1, 4)
+    # Logical CPUs reserved per actor. Fractional on purpose: a pipeline
+    # with several actor-pool stages at num_cpus=1 RESERVES min_pool x 1
+    # CPU per stage, which on a small host starves the upstream read
+    # task pool and wedges the stream (observed with 4 stages on 4
+    # CPUs). 0.5 lets pools interleave; each actor is single-threaded
+    # NumPy anyway, and the streaming executor's backpressure keeps real
+    # utilization bounded.
+    actor_num_cpus: float = 0.5
 
     # kNN
     knn_k: int = 3

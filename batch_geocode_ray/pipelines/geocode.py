@@ -81,7 +81,7 @@ def build_geocode_pipeline(pages_path: str | list[str],
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.matcher_concurrency,
-        num_cpus=1,
+        num_cpus=cfg.actor_num_cpus,
     )
     ds = ds.map_batches(
         MentionResolver,
@@ -94,7 +94,7 @@ def build_geocode_pipeline(pages_path: str | list[str],
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.matcher_concurrency,
-        num_cpus=1,
+        num_cpus=cfg.actor_num_cpus,
     )
     ds = ds.map_batches(
         lambda b: encode_cells_stage(b, cfg.hex_resolutions, cfg.s2_level),
@@ -108,7 +108,7 @@ def build_geocode_pipeline(pages_path: str | list[str],
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.pip_concurrency,
-            num_cpus=1,
+            num_cpus=cfg.actor_num_cpus,
         )
     if with_knn and facilities is not None:
         fac_ref = ray.put(FacilityIndex(facilities))
@@ -118,7 +118,7 @@ def build_geocode_pipeline(pages_path: str | list[str],
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.pip_concurrency,
-            num_cpus=1,
+            num_cpus=cfg.actor_num_cpus,
         )
     return ds
 

@@ -1,0 +1,77 @@
+"""Tile aggregation + salted groupby correctness (skew-resistance must
+not change answers — SURVEY §5.5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from batch_geocode_ray.stages.aggregates import (
+    cell_partial_aggregate,
+    salted_groupby_map_groups,
+    tile_aggregate,
+)
+
+
+def make_ds(n=5000, n_cells=7, seed=0, hot_frac=0.5):
+    rng = np.random.RandomState(seed)
+    cells = rng.randint(1, n_cells + 1, size=n).astype(np.int64)
+    cells[rng.rand(n) < hot_frac] = 1  # hot key
+    buf = rng.uniform(0, 20, size=n)
+    buf[rng.rand(n) < 0.1] = np.nan
+    t = pa.table({
+        "h3_cell_r7": pa.array(cells, pa.int64()),
+        "best_buffer": pa.array(buf, pa.float64(), from_pandas=True),
+    })
+    return rd.from_arrow(t).repartition(8), t
+
+
+def test_tile_aggregate_matches_pandas():
+    ds, t = make_ds()
+    got = tile_aggregate(ds, "h3_cell_r7").to_pandas().sort_values("h3_cell_r7").reset_index(drop=True)
+    df = t.to_pandas()
+    want = df.groupby("h3_cell_r7").agg(
+        pages=("h3_cell_r7", "size"),
+        mean_buffer=("best_buffer", "mean"),
+        min_buffer=("best_buffer", "min"),
+        max_buffer=("best_buffer", "max"),
+    ).reset_index()
+    assert got["h3_cell_r7"].tolist() == want["h3_cell_r7"].tolist()
+    assert got["pages"].tolist() == want["pages"].tolist()
+    np.testing.assert_allclose(got["mean_buffer"], want["mean_buffer"], rtol=1e-9)
+    np.testing.assert_allclose(got["min_buffer"], want["min_buffer"], rtol=1e-12)
+    np.testing.assert_allclose(got["max_buffer"], want["max_buffer"], rtol=1e-12)
+
+
+def test_partial_aggregate_collapses_hot_cell():
+    _, t = make_ds(n=1000)
+    part = cell_partial_aggregate(t, "h3_cell_r7")
+    # one row per distinct cell regardless of skew -> shuffle carries
+    # O(cells) rows per block, not O(pages)
+    assert part.num_rows == len(set(t["h3_cell_r7"].to_pylist()))
+    assert part["pages"].to_pylist() and sum(part["pages"].to_pylist()) == 1000
+
+
+def test_salted_groupby_matches_unsalted():
+    ds, t = make_ds(n=2000, n_cells=4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h3_cell_r7": [df["h3_cell_r7"].iloc[0]],
+            "s": [df["best_buffer"].sum()],
+            "n": [df["best_buffer"].count()],
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h3_cell_r7": [df["h3_cell_r7"].iloc[0]],
+            "mean_buffer": [df["s"].sum() / max(df["n"].sum(), 1)],
+        })
+
+    got = (salted_groupby_map_groups(ds, "h3_cell_r7", partial, final, num_salts=8)
+           .to_pandas().sort_values("h3_cell_r7").reset_index(drop=True))
+    df = t.to_pandas()
+    want = df.groupby("h3_cell_r7")["best_buffer"].mean().reset_index(name="mean_buffer")
+    assert got["h3_cell_r7"].tolist() == want["h3_cell_r7"].tolist()
+    np.testing.assert_allclose(got["mean_buffer"], want["mean_buffer"], rtol=1e-9)
