@@ -1,0 +1,722 @@
+"""Driver-contract query catalog: every operator surface exposed as a
+``name -> fn(sf_dir)`` callable plus (where SQL-expressible) a DuckDB
+oracle string over the same parquet tables.
+
+Conventions (driver contract):
+  * ray.init is NEVER called here — the driver owns the session;
+  * every computed column is named identically in the Ray pipeline and
+    in the oracle SQL (the comparator hashes by column name);
+  * float aggregates whose addition ORDER differs between engines
+    (distributed partial sums vs single-stream SQL sums) are stabilized
+    to fixed-point on BOTH sides — ``round(x * 1e4) / 1e4`` — which is
+    bit-identical across engines (see ``_round_cols``); per-row
+    arithmetic that is bit-identical by construction (exact int
+    division etc.) is left unrounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from batch_geocode_ray.stages.aggregates import grouped_aggregate
+from batch_geocode_ray.stages.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from batch_geocode_ray.stages.joins import broadcast_join
+from batch_geocode_ray.stages.similarity import (
+    cosine_neardup_pairs,
+    ivf_knn,
+    knn_cosine,
+)
+
+_ROUND_MODE = "half_towards_infinity"  # DuckDB ROUND tie behavior
+
+
+def _round_cols(ds: Dataset, cols: dict[str, int]) -> Dataset:
+    """Fixed-point stabilization: ``round(x * 10^nd) / 10^nd`` computed
+    the same way on both engines. Plain ``round(x, nd)`` is NOT
+    bit-stable across engines (observed ulp drift); rounding the scaled
+    value to an integer absorbs the distributed-sum reassociation noise
+    (~1e-13 relative), after which the int/10^nd division is IEEE-exact
+    identical on both sides."""
+    def f(b: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            scale = float(10 ** nd)
+            scaled = pc.round(pc.multiply(pc.cast(b[c], pa.float64()), scale),
+                              ndigits=0, round_mode=_ROUND_MODE)
+            b = b.set_column(b.column_names.index(c), c,
+                             pc.divide(scaled, scale))
+        return b
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_fixed(expr: str, nd: int = 4) -> str:
+    return f"round(({expr}) * {10 ** nd}) / {10 ** nd}.0"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational: filter / project / groupby / join / sort / topk / distinct
+# ---------------------------------------------------------------------------
+
+_SHIP_CUTOFF = "2000-12-01 00:00:00"
+
+
+def q01_pricing_summary(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = np.datetime64(_SHIP_CUTOFF.replace(" ", "T"), "us")
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["l_shipdate"],
+                                      pa.scalar(cutoff, pa.timestamp("us"))))
+
+    ds = ds.map_batches(flt, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_extendedprice", "sum", "sum_base_price"),
+         ("l_discount", "mean", "avg_disc"),
+         ("l_quantity", "count", "count_order")])
+    return _round_cols(agg, {"sum_qty": 4, "sum_base_price": 4, "avg_disc": 4}) \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
+SQL_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) * 10000) / 10000.0      AS sum_qty,
+       round(sum(l_extendedprice) * 10000) / 10000.0 AS sum_base_price,
+       round(avg(l_discount) * 10000) / 10000.0      AS avg_disc,
+       count(l_quantity)              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_items(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_discount"], 0.05))
+        b = b.select(["l_orderkey", "l_linenumber", "l_extendedprice"])
+        idx = pc.sort_indices(
+            b, sort_keys=[("l_extendedprice", "descending"),
+                          ("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])[:10]
+        return b.take(idx)
+
+    # per-block top-10 partials, then a tiny global sort+limit
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False])
+            .limit(10))
+
+
+SQL_Q02 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_discount > 0.05
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+def q03_segment_revenue(sf_dir: str) -> Dataset:
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, "o_custkey", ["c_mktsegment"])
+    agg = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        [("o_totalprice", "sum", "total_revenue"),
+         ("o_totalprice", "count", "n_orders")])
+    return _round_cols(agg, {"total_revenue": 4}).sort("c_mktsegment")
+
+
+SQL_Q03 = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice) * 10000) / 10000.0 AS total_revenue,
+       count(o_totalprice)         AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q04_brand_volume(sf_dir: str) -> Dataset:
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    part = part.rename_columns(["l_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    joined = broadcast_join(li, part, "l_partkey", ["p_brand"])
+    agg = grouped_aggregate(
+        joined, ["p_brand"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_quantity", "count", "n_items")])
+    return _round_cols(agg, {"sum_qty": 4}).sort("p_brand")
+
+
+SQL_Q04 = """
+SELECT p_brand,
+       round(sum(l_quantity) * 10000) / 10000.0 AS sum_qty,
+       count(l_quantity)         AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q05_region_nation_customers(sf_dir: str) -> Dataset:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    # tiny dims: pre-join driver-side, broadcast ONE lookup
+    r_names = dict(zip(region["r_regionkey"].to_pylist(),
+                       region["r_name"].to_pylist()))
+    dim = pa.table({
+        "c_nationkey": nation["n_nationkey"],
+        "n_name": nation["n_name"],
+        "r_name": pa.array([r_names[k] for k in
+                            nation["n_regionkey"].to_pylist()], pa.string()),
+    })
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, "c_nationkey", ["n_name", "r_name"])
+    agg = grouped_aggregate(
+        joined, ["r_name", "n_name"],
+        [("c_acctbal", "sum", "acctbal_sum"),
+         ("c_custkey", "count", "n_customers")])
+    return _round_cols(agg, {"acctbal_sum": 4}).sort(["r_name", "n_name"])
+
+
+SQL_Q05 = """
+SELECT r_name, n_name,
+       round(sum(c_acctbal) * 10000) / 10000.0 AS acctbal_sum,
+       count(c_custkey)         AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q06_order_priorities(sf_dir: str) -> Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderpriority"])
+    return grouped_aggregate(
+        orders, ["o_orderpriority"],
+        [("o_orderpriority", "count", "n_orders")]).sort("o_orderpriority")
+
+
+SQL_Q06 = """
+SELECT o_orderpriority, count(o_orderpriority) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q07_events_hourly(sf_dir: str) -> Dataset:
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "value": b["value"],
+        })
+
+    ds = ev.map_batches(add_hour, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        ds, ["hour"],
+        [("value", "sum", "sum_value"), ("value", "count", "n_events")])
+    return _round_cols(agg, {"sum_value": 4}).sort("hour")
+
+
+SQL_Q07 = """
+SELECT date_trunc('hour', ts)  AS hour,
+       round(sum(value) * 10000) / 10000.0    AS sum_value,
+       count(value)            AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q08_user_event_stats(sf_dir: str) -> Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    # two-stage distinct count: (user, type) partials, then per-user
+    stage1 = grouped_aggregate(
+        ev, ["user_id", "event_type"],
+        [("value", "sum", "_s"), ("value", "count", "_n")])
+    stage2 = grouped_aggregate(
+        stage1, ["user_id"],
+        [("_s", "sum", "sum_value"),
+         ("_n", "sum", "n_events"),
+         ("_s", "count", "n_event_types")])
+    return _round_cols(stage2, {"sum_value": 4}).sort("user_id")
+
+
+SQL_Q08 = """
+SELECT user_id,
+       round(sum(value) * 10000) / 10000.0       AS sum_value,
+       count(value)               AS n_events,
+       count(DISTINCT event_type) AS n_event_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q09_doc_tokens(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.functions.text import token_count_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(token_count_column(b["text"]), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+_SQL_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+             "x -> x <> '')")
+
+SQL_Q09 = f"""
+SELECT doc_id, len({_SQL_TOKS}) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q10_doc_quality(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.functions.text import quality_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        q = quality_table(b["text"])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "avg_token_len": pa.array(q["avg_token_len"], pa.float64()),
+            "stopword_ratio": pa.array(q["stopword_ratio"], pa.float64()),
+            "alpha_ratio": pa.array(q["alpha_ratio"], pa.float64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_Q10 = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+            ELSE 0.0 END AS avg_token_len,
+       CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks,
+                 x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0 / len(toks)
+            ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END
+            AS alpha_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def q11_doc_langid(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.functions.text import langid_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        out = langid_table(b["text"])
+        cols = {"doc_id": b["doc_id"],
+                "pred_lang": pa.array(out["pred_lang"], pa.string())}
+        for lang in ("de", "en", "es", "fr"):
+            cols[f"hits_{lang}"] = pa.array(out[f"hits_{lang}"], pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+_LANG_MARKERS_SQL = {
+    "de": "('der','die','das','und','ist')",
+    "en": "('the','a','and','of','to')",
+    "es": "('el','la','de','y','los')",
+    "fr": "('le','la','les','et','des')",
+}
+_HITS = ",\n       ".join(
+    f"len(list_filter(toks, x -> x IN {v})) AS hits_{k}"
+    for k, v in _LANG_MARKERS_SQL.items())
+
+SQL_Q11 = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+       {_HITS}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       hits_de, hits_en, hits_es, hits_fr
+FROM h ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q12_dedup_exact(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs, "text", "doc_id").sort("doc_id")
+
+
+SQL_Q12 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def q13_doc_langs(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["lang"])
+    return grouped_aggregate(
+        docs, ["lang"], [("lang", "count", "n_docs")]).sort("lang")
+
+
+SQL_Q13 = """
+SELECT lang, count(lang) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# small inline gazetteer over the documents vocabulary (bigrams that
+# occur in the corpus) — oracle-checkable slice of matcher semantics
+_DOC_GAZETTEER = ["fast row", "hash join", "spark query", "table scan",
+                  "window agg"]
+
+
+def q14_gazetteer_mentions(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.stages.matcher import GazetteerMatcher
+    from batch_geocode_ray.state.gazetteer import GazetteerIndex
+
+    names = _DOC_GAZETTEER
+    gaz = pa.table({
+        "gazetteer_id": pa.array(range(len(names)), pa.int64()),
+        "name": pa.array(names, pa.string()),
+        "lat": pa.array([0.0] * len(names)),
+        "lon": pa.array([0.0] * len(names)),
+        "bb_n": pa.array([None] * len(names), pa.float64()),
+        "bb_s": pa.array([None] * len(names), pa.float64()),
+        "bb_e": pa.array([None] * len(names), pa.float64()),
+        "bb_w": pa.array([None] * len(names), pa.float64()),
+        "cc": pa.array([None] * len(names), pa.string()),
+        "type": pa.array(["term"] * len(names), pa.string()),
+        "population": pa.array([0] * len(names), pa.int64()),
+        "source": pa.array(["GM"] * len(names), pa.string()),
+    })
+    gaz_ref = ray.put(GazetteerIndex.from_table(gaz))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    matched = docs.map_batches(
+        GazetteerMatcher,
+        fn_constructor_kwargs={"gazetteer": gaz_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5)
+
+    def explode(b: pa.Table) -> pa.Table:
+        m = b["mentions"].combine_chunks()
+        parents = np.asarray(m.value_parent_indices())
+        ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        flat = m.flatten()
+        return pa.table({
+            "doc_id": pa.array(ids[parents], pa.int64()),
+            "name": flat.field("name"),
+        })
+
+    return grouped_aggregate(
+        matched.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "name"], [("name", "count", "n_mentions")]
+    ).sort(["doc_id", "name"])
+
+
+_GAZ_VALUES = ", ".join(f"('{n}')" for n in _DOC_GAZETTEER)
+
+SQL_Q14 = f"""
+WITH g(name) AS (VALUES {_GAZ_VALUES}),
+t AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT t.doc_id, g.name,
+       len(regexp_extract_all(t.norm, '\\b' || g.name || '\\b'))
+           AS n_mentions
+FROM t CROSS JOIN g
+WHERE len(regexp_extract_all(t.norm, '\\b' || g.name || '\\b')) > 0
+ORDER BY t.doc_id, g.name
+"""
+
+
+def q15_ngram_dup_pairs(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+SQL_Q15 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS g
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+# ---------------------------------------------------------------------------
+
+_N_QUERY_VECS = 10
+_KNN_K = 5
+_COS_THRESHOLD = 0.4
+
+
+def _load_queries(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], _N_QUERY_VECS)
+    t = t.filter(mask)
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    m = np.asarray(t["embedding"].combine_chunks().flatten()
+                   .to_numpy(zero_copy_only=False),
+                   dtype=np.float64).reshape(len(ids), -1)
+    return m, ids
+
+
+def q16_embed_knn(sf_dir: str) -> Dataset:
+    qm, qids = _load_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_cosine(emb, "embedding", "vec_id", qm, qids, k=_KNN_K)
+
+
+SQL_Q16 = f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id) AS rank
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < {_N_QUERY_VECS} AND b.vec_id <> a.vec_id
+) WHERE rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+def q17_embed_neardup(sf_dir: str) -> Dataset:
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_neardup_pairs(emb, "embedding", "vec_id",
+                                 threshold=_COS_THRESHOLD)
+    return _round_cols(pairs, {"cosine": 6})
+
+
+SQL_Q17 = f"""
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {_COS_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): sketch dedup, ANN-approx,
+# multimodal stubs, and the flagship geocode pipeline
+# ---------------------------------------------------------------------------
+
+def q18_minhash_neardup(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+def q19_simhash_neardup(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q20_fingerprint_dedup(sf_dir: str) -> Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_dedup(docs, "text", "doc_id").sort("doc_id")
+
+
+def q21_ivf_knn(sf_dir: str) -> Dataset:
+    qm, qids = _load_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_knn(emb, "embedding", "vec_id", qm, qids, k=_KNN_K)
+
+
+def _fixture_pages_for(sf_dir: str) -> tuple[str, object]:
+    """Deterministic synthetic page fixture sized to the sf level (the
+    geocode pipeline's input shape isn't in the TPC-H-ish tables)."""
+    from batch_geocode_ray.sources.fixtures import ensure_fixture_dir, generate_world
+
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 300)
+    d = ensure_fixture_dir(n)
+    return f"{d}/pages", generate_world()
+
+
+def q22_geocode_pages(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.pipelines.geocode import build_geocode_pipeline
+
+    pages, world = _fixture_pages_for(sf_dir)
+    return build_geocode_pipeline(
+        pages, world.gazetteer, admin_polygons=world.admin_polygons,
+        facilities=world.facilities, with_knn=True,
+    ).drop_columns(["knn_dists"])  # float list noise out of the hash
+
+
+def q23_tile_aggregates(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.pipelines.geocode import (
+        build_geocode_pipeline,
+        build_tile_aggregates,
+    )
+
+    pages, world = _fixture_pages_for(sf_dir)
+    ds = build_geocode_pipeline(pages, world.gazetteer)
+    return build_tile_aggregates(ds, res=7)
+
+
+def _media_table(n: int = 64) -> pa.Table:
+    rng = np.random.RandomState(5)
+    payloads = [rng.bytes(256) for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "image": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/png"] * n, pa.string()),
+        "width": pa.array([64] * n, pa.int32()),
+        "height": pa.array([48] * n, pa.int32()),
+    })
+
+
+def q24_image_features(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.stages.multimodal import ImageFeatures
+
+    ds = rd.from_arrow(_media_table())
+    return ds.map_batches(
+        ImageFeatures, batch_size=16, batch_format="pyarrow",
+        concurrency=(1, 2), num_cpus=0.5).sort("media_id")
+
+
+def q25_audio_frames(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.stages.multimodal import AudioFrameSample
+
+    n = 64
+    rng = np.random.RandomState(6)
+    t = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "audio": pa.array([rng.bytes(512) for _ in range(n)], pa.binary()),
+        "mime": pa.array(["audio/wav"] * n, pa.string()),
+        "sample_rate": pa.array([16000] * n, pa.int32()),
+        "n_samples": pa.array([4096] * n, pa.int64()),
+    })
+    return rd.from_arrow(t).map_batches(
+        AudioFrameSample, batch_size=16, batch_format="pyarrow",
+        concurrency=(1, 2), num_cpus=0.5).sort("media_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_items": q02_top_revenue_items,
+    "q03_segment_revenue": q03_segment_revenue,
+    "q04_brand_volume": q04_brand_volume,
+    "q05_region_nation_customers": q05_region_nation_customers,
+    "q06_order_priorities": q06_order_priorities,
+    "q07_events_hourly": q07_events_hourly,
+    "q08_user_event_stats": q08_user_event_stats,
+    "q09_doc_tokens": q09_doc_tokens,
+    "q10_doc_quality": q10_doc_quality,
+    "q11_doc_langid": q11_doc_langid,
+    "q12_dedup_exact": q12_dedup_exact,
+    "q13_doc_langs": q13_doc_langs,
+    "q14_gazetteer_mentions": q14_gazetteer_mentions,
+    "q15_ngram_dup_pairs": q15_ngram_dup_pairs,
+    "q16_embed_knn": q16_embed_knn,
+    "q17_embed_neardup": q17_embed_neardup,
+    "q18_minhash_neardup": q18_minhash_neardup,
+    "q19_simhash_neardup": q19_simhash_neardup,
+    "q20_fingerprint_dedup": q20_fingerprint_dedup,
+    "q21_ivf_knn": q21_ivf_knn,
+    "q22_geocode_pages": q22_geocode_pages,
+    "q23_tile_aggregates": q23_tile_aggregates,
+    "q24_image_features": q24_image_features,
+    "q25_audio_frames": q25_audio_frames,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": SQL_Q01,
+    "q02_top_revenue_items": SQL_Q02,
+    "q03_segment_revenue": SQL_Q03,
+    "q04_brand_volume": SQL_Q04,
+    "q05_region_nation_customers": SQL_Q05,
+    "q06_order_priorities": SQL_Q06,
+    "q07_events_hourly": SQL_Q07,
+    "q08_user_event_stats": SQL_Q08,
+    "q09_doc_tokens": SQL_Q09,
+    "q10_doc_quality": SQL_Q10,
+    "q11_doc_langid": SQL_Q11,
+    "q12_dedup_exact": SQL_Q12,
+    "q13_doc_langs": SQL_Q13,
+    "q14_gazetteer_mentions": SQL_Q14,
+    "q15_ngram_dup_pairs": SQL_Q15,
+    "q16_embed_knn": SQL_Q16,
+    "q17_embed_neardup": SQL_Q17,
+    # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
+}

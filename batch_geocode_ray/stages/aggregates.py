@@ -76,6 +76,84 @@ def tile_aggregate(ds: Dataset, cell_col: str, buffer_col: str = "best_buffer") 
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_aggregate(ds: Dataset, keys: list[str],
+                      specs: list[tuple[str, str, str]]) -> Dataset:
+    """Generic scalable grouped aggregation: per-batch partial combine
+    (pyarrow C++ hash group-by) -> small shuffle of partials ->
+    finalize. ``specs`` entries are ``(column, op, out_name)`` with op in
+    {"sum", "min", "max", "count", "count_rows", "mean"}.
+
+    The shuffle carries one row per (batch, group) instead of one per
+    input row — the same skew-collapsing property as
+    :func:`tile_aggregate` (a hot key costs one partial row per batch).
+    """
+    partial_aggs: list[tuple[str, str]] = []   # (col, pa_fn)
+    partial_names: list[str] = []
+    merge_aggs = []
+    final_exprs: list[tuple[str, str, str | None]] = []  # out, kind, aux
+
+    def add_partial(col, fn, name):
+        partial_aggs.append((col, fn))
+        partial_names.append(name)
+
+    for col, op, out in specs:
+        if op == "sum":
+            add_partial(col, "sum", out)
+            merge_aggs.append(Sum(out, alias_name=out))
+            final_exprs.append((out, "direct", None))
+        elif op == "min":
+            add_partial(col, "min", out)
+            merge_aggs.append(Min(out, alias_name=out))
+            final_exprs.append((out, "direct", None))
+        elif op == "max":
+            add_partial(col, "max", out)
+            merge_aggs.append(Max(out, alias_name=out))
+            final_exprs.append((out, "direct", None))
+        elif op == "count":
+            add_partial(col, "count", out)
+            merge_aggs.append(Sum(out, alias_name=out))
+            final_exprs.append((out, "direct", None))
+        elif op == "count_rows":
+            add_partial(keys[0], "count", out)   # keys are non-null here
+            merge_aggs.append(Sum(out, alias_name=out))
+            final_exprs.append((out, "direct", None))
+        elif op == "mean":
+            add_partial(col, "sum", f"__{out}_s")
+            add_partial(col, "count", f"__{out}_n")
+            merge_aggs.append(Sum(f"__{out}_s", alias_name=f"__{out}_s"))
+            merge_aggs.append(Sum(f"__{out}_n", alias_name=f"__{out}_n"))
+            final_exprs.append((out, "mean", None))
+        else:
+            raise ValueError(f"unknown op {op}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(partial_aggs)
+        # pyarrow returns keys first, then aggregates in spec order
+        return g.rename_columns(keys + partial_names)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(keys[0] if len(keys) == 1 else keys) \
+               .aggregate(*merge_aggs)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {k: b[k] for k in keys}
+        for out, kind, _ in final_exprs:
+            if kind == "direct":
+                cols[out] = b[out]
+            else:
+                s = np.asarray(b[f"__{out}_s"].to_numpy(zero_copy_only=False),
+                               dtype=np.float64)
+                n = np.asarray(b[f"__{out}_n"].to_numpy(zero_copy_only=False),
+                               dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cols[out] = pa.array(
+                        np.where(n > 0, s / np.maximum(n, 1), np.nan),
+                        pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def salted_groupby_map_groups(ds: Dataset, key: str, partial_fn, final_fn,
                               num_salts: int = 16, batch_format: str = "pandas") -> Dataset:
     """Two-stage skew-resistant grouped computation.

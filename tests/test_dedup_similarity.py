@@ -1,0 +1,178 @@
+"""Dedup + similarity operators: exactness, LSH recall against the
+exact join, and plumbing of the multimodal stubs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from batch_geocode_ray.stages.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from batch_geocode_ray.stages.joins import broadcast_join
+from batch_geocode_ray.stages.similarity import (
+    cosine_neardup_pairs,
+    knn_cosine,
+)
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+
+def docs_table():
+    texts = [
+        BASE,                             # 0
+        BASE + " phi",                    # 1: near-dup of 0
+        "totally different content here about other things entirely "
+        "with many words that do not overlap at all",  # 2
+        BASE,                             # 3: exact dup of 0
+        "short text",                     # 4
+        BASE.replace("gamma", "GAMMA"),   # 5: case-only change = same tokens
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return rd.from_arrow(docs_table()).repartition(3)
+
+
+def test_exact_dedup(docs_ds):
+    got = {r["doc_id"]: r["n_copies"]
+           for r in exact_dedup(docs_ds, "text", "doc_id").take_all()}
+    # docs 0 and 3 are byte-identical -> survivor 0 with 2 copies;
+    # doc 5 differs byte-wise (case), so it is NOT an exact dup
+    assert got[0] == 2
+    assert 3 not in got
+    assert got[5] == 1
+    assert sum(got.values()) == 6
+
+
+def test_ngram_jaccard_exact_pairs(docs_ds):
+    pairs = ngram_jaccard_pairs(docs_ds, "text", "doc_id",
+                                k=3, threshold=0.8).take_all()
+    found = {(r["d1"], r["d2"]): r["jaccard"] for r in pairs}
+    # tokenization lowercases, so 0/3/5 are identical token streams and
+    # 1 shares all of 0's grams
+    assert found[(0, 3)] == 1.0
+    assert found[(0, 5)] == 1.0
+    assert found[(3, 5)] == 1.0
+    assert (0, 1) in found and found[(0, 1)] > 0.9
+    assert all(d not in (2, 4) for p in found for d in p)
+
+
+def test_minhash_lsh_finds_exact_pairs(docs_ds):
+    exact = {(r["d1"], r["d2"])
+             for r in ngram_jaccard_pairs(docs_ds, "text", "doc_id",
+                                          k=3, threshold=0.8).take_all()}
+    lsh = {(r["d1"], r["d2"])
+           for r in minhash_lsh_pairs(docs_ds, "text", "doc_id",
+                                      threshold=0.8).take_all()}
+    # high-similarity pairs must be recalled; no sub-threshold pair may appear
+    assert exact <= lsh or exact == lsh
+    for r in minhash_lsh_pairs(docs_ds, "text", "doc_id",
+                               threshold=0.8).take_all():
+        assert r["est_jaccard"] >= 0.8
+
+
+def test_simhash_pairs(docs_ds):
+    got = {(r["d1"], r["d2"]): r["hamming"]
+           for r in simhash_pairs(docs_ds, "text", "doc_id",
+                                  max_hamming=3).take_all()}
+    # identical token multisets -> identical simhash -> hamming 0
+    assert got[(0, 3)] == 0
+    assert got[(0, 5)] == 0
+    assert (0, 2) not in got
+
+
+def test_fingerprint_dedup(docs_ds):
+    rows = fingerprint_dedup(docs_ds, "text", "doc_id").take_all()
+    by_id = {r["doc_id"]: r["n_members"] for r in rows}
+    # 0, 1, 3, 5 share the winnowing fingerprint (1 shares 0's min window)
+    assert by_id[0] == 4
+    assert by_id[2] == 1
+
+
+def test_broadcast_join_inner_and_left():
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }))
+    small = pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "name": pa.array(["one", "three"], pa.string()),
+    })
+    inner = broadcast_join(big, small, "k", ["name"]).take_all()
+    assert sorted((r["k"], r["name"]) for r in inner) == [(1, "one"), (3, "three")]
+    left = broadcast_join(big, small, "k", ["name"], how="left").take_all()
+    got = {r["k"]: r["name"] for r in left}
+    assert got == {1: "one", 2: None, 3: "three", 4: None}
+
+
+def embeddings_ds(n=40, d=8, seed=2):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d)
+    m[1] = m[0] + 0.001 * rng.randn(d)  # planted near-dup
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), d),
+    })
+    return rd.from_arrow(t).repartition(4), m
+
+
+def test_knn_cosine_matches_numpy():
+    ds, m = embeddings_ds()
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    got = knn_cosine(ds, "embedding", "vec_id",
+                     m[:3], np.arange(3), k=4).take_all()
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(len(s)), -s))[:4]
+        want = order.tolist()
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == q]
+        assert mine == want
+
+
+def test_cosine_neardup_pairs():
+    ds, m = embeddings_ds()
+    pairs = cosine_neardup_pairs(ds, "embedding", "vec_id",
+                                 threshold=0.99).take_all()
+    assert {(r["d1"], r["d2"]) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_stub_plumbing():
+    from batch_geocode_ray.pipelines.queries import q24_image_features, q25_audio_frames
+
+    img = q24_image_features("unused").take_all()
+    assert len(img) == 64
+    assert len(img[0]["features"]) == 16
+    assert "image" not in img[0]  # heavy payload dropped
+    # deterministic across runs
+    img2 = q24_image_features("unused").take_all()
+    assert img[0]["pixel_mean"] == img2[0]["pixel_mean"]
+
+    aud = q25_audio_frames("unused").take_all()
+    assert len(aud) == 64 and len(aud[0]["frame_energy"]) == 8
+
+
+def test_multimodal_strict_raises():
+    from batch_geocode_ray.stages.multimodal import ImageFeatures
+
+    stage = ImageFeatures(decode="strict")
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({
+            "media_id": pa.array([0], pa.int64()),
+            "image": pa.array([b"x"], pa.binary()),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([8], pa.int32()),
+        }))
