@@ -36,9 +36,13 @@ class PipelineConfig:
     # Pool minimums stay at 1: with several actor-pool stages in one
     # pipeline, minimums that sum to the CPU count starve the read/task
     # stages and wedge the stream. Autoscaling grows pools under load.
-    batch_size: int = 4096
-    matcher_concurrency: int | tuple[int, int] = (1, 8)
-    pip_concurrency: int | tuple[int, int] = (1, 4)
+    # Actor pools autoscale (min, max); maxima are set well above a
+    # single node's CPU count so the pool — not the config — is the
+    # binding constraint on a big cluster, while min=1 keeps small hosts
+    # from starving (see actor_num_cpus below).
+    batch_size: int = 2048
+    matcher_concurrency: int | tuple[int, int] = (1, 64)
+    pip_concurrency: int | tuple[int, int] = (1, 32)
     # Logical CPUs reserved per actor. Fractional on purpose: a pipeline
     # with several actor-pool stages at num_cpus=1 RESERVES min_pool x 1
     # CPU per stage, which on a small host starves the upstream read

@@ -247,46 +247,62 @@ def _page_html(rng: np.random.RandomState, names: list[str], title_word: str) ->
     return "".join(parts)
 
 
+def _generate_shard(out_dir: str, shard: int, start: int, count: int,
+                    seed: int, place_names: list[str]) -> str:
+    """One parquet shard, deterministic from (seed, shard) alone — safe
+    to generate serially or as a Ray task without changing bytes."""
+    epoch_us = 1_600_000_000_000_000  # fixed; never wall-clock
+    rng = np.random.RandomState((seed * 1_000_003 + shard) % (2**31 - 1))
+    urls, htmls, texts, langs, ts = [], [], [], [], []
+    lang_ids = rng.choice(len(LANGS), size=count, p=[0.4, 0.2, 0.15, 0.15, 0.1])
+    for i in range(count):
+        row = start + i
+        h = hashlib.sha1(f"{seed}:{row}".encode()).hexdigest()[:12]
+        urls.append(f"https://site{row % 97}.example/{h}")
+        title_word = _FILLER[row % len(_FILLER)]
+        html = _page_html(rng, place_names, title_word)
+        htmls.append(html.encode("utf-8"))
+        texts.append(extract_text_py(html))
+        langs.append(LANGS[lang_ids[i]])
+        ts.append(epoch_us + row * 1_000_000)
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def generate_pages(out_dir: str, n_pages: int, seed: int = 42,
-                   rows_per_file: int = 50_000, world: World | None = None) -> list[str]:
+                   rows_per_file: int = 5_000, world: World | None = None) -> list[str]:
     """Write the pages table as parquet shards; returns file paths.
 
-    Sharded so ray.data.read_parquet parallelizes the read; each shard
-    is generated independently from (seed, shard_index) so generation
-    itself could be distributed without changing output bytes.
+    Shards are independently seeded from (seed, shard_index), so when a
+    Ray session is live they generate in parallel as Ray tasks with
+    byte-identical output to the serial path.
     """
+    import ray
+
     world = world or generate_world(seed)
     os.makedirs(out_dir, exist_ok=True)
-    files = []
-    epoch_us = 1_600_000_000_000_000  # fixed; never wall-clock
+    spans = []
     shard = 0
     for start in range(0, n_pages, rows_per_file):
-        count = min(rows_per_file, n_pages - start)
-        rng = np.random.RandomState((seed * 1_000_003 + shard) % (2**31 - 1))
-        urls, htmls, texts, langs, ts = [], [], [], [], []
-        lang_ids = rng.choice(len(LANGS), size=count, p=[0.4, 0.2, 0.15, 0.15, 0.1])
-        for i in range(count):
-            row = start + i
-            h = hashlib.sha1(f"{seed}:{row}".encode()).hexdigest()[:12]
-            urls.append(f"https://site{row % 97}.example/{h}")
-            title_word = _FILLER[row % len(_FILLER)]
-            html = _page_html(rng, world.place_names, title_word)
-            htmls.append(html.encode("utf-8"))
-            texts.append(extract_text_py(html))
-            langs.append(LANGS[lang_ids[i]])
-            ts.append(epoch_us + row * 1_000_000)
-        table = pa.table({
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        })
-        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-        pq.write_table(table, path)
-        files.append(path)
+        spans.append((shard, start, min(rows_per_file, n_pages - start)))
         shard += 1
-    return files
+
+    if ray.is_initialized() and len(spans) > 1:
+        gen = ray.remote(num_cpus=1)(_generate_shard)
+        names_ref = ray.put(world.place_names)
+        return ray.get([
+            gen.remote(out_dir, sh, st, ct, seed, names_ref)
+            for sh, st, ct in spans])
+    return [_generate_shard(out_dir, sh, st, ct, seed, world.place_names)
+            for sh, st, ct in spans]
 
 
 def ensure_fixture_dir(n_pages: int, seed: int = 42,
@@ -294,7 +310,7 @@ def ensure_fixture_dir(n_pages: int, seed: int = 42,
     """Generate (once, cached) a fixture directory with pages/ shards and
     the world tables; keyed by (n_pages, seed, generator version).
     """
-    version = "v1"
+    version = "v2"  # v2: 5k-row shards (read parallelism), parallel gen
     d = os.path.join(base, f"{version}-seed{seed}-n{n_pages}")
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
