@@ -92,9 +92,9 @@ def q01_pricing_summary(sf_dir: str) -> Dataset:
         [("l_quantity", "sum", "sum_qty"),
          ("l_extendedprice", "sum", "sum_base_price"),
          ("l_discount", "mean", "avg_disc"),
-         ("l_quantity", "count", "count_order")])
-    return _round_cols(agg, {"sum_qty": 4, "sum_base_price": 4, "avg_disc": 4}) \
-        .sort(["l_returnflag", "l_linestatus"])
+         ("l_quantity", "count", "count_order")],
+        merge="single", sort_keys=["l_returnflag", "l_linestatus"])
+    return _round_cols(agg, {"sum_qty": 4, "sum_base_price": 4, "avg_disc": 4})
 
 
 SQL_Q01 = f"""
@@ -148,8 +148,9 @@ def q03_segment_revenue(sf_dir: str) -> Dataset:
     agg = grouped_aggregate(
         joined, ["c_mktsegment"],
         [("o_totalprice", "sum", "total_revenue"),
-         ("o_totalprice", "count", "n_orders")])
-    return _round_cols(agg, {"total_revenue": 4}).sort("c_mktsegment")
+         ("o_totalprice", "count", "n_orders")],
+        merge="single", sort_keys=["c_mktsegment"])
+    return _round_cols(agg, {"total_revenue": 4})
 
 
 SQL_Q03 = """
@@ -171,8 +172,9 @@ def q04_brand_volume(sf_dir: str) -> Dataset:
     agg = grouped_aggregate(
         joined, ["p_brand"],
         [("l_quantity", "sum", "sum_qty"),
-         ("l_quantity", "count", "n_items")])
-    return _round_cols(agg, {"sum_qty": 4}).sort("p_brand")
+         ("l_quantity", "count", "n_items")],
+        merge="single", sort_keys=["p_brand"])
+    return _round_cols(agg, {"sum_qty": 4})
 
 
 SQL_Q04 = """
@@ -202,8 +204,9 @@ def q05_region_nation_customers(sf_dir: str) -> Dataset:
     agg = grouped_aggregate(
         joined, ["r_name", "n_name"],
         [("c_acctbal", "sum", "acctbal_sum"),
-         ("c_custkey", "count", "n_customers")])
-    return _round_cols(agg, {"acctbal_sum": 4}).sort(["r_name", "n_name"])
+         ("c_custkey", "count", "n_customers")],
+        merge="single", sort_keys=["r_name", "n_name"])
+    return _round_cols(agg, {"acctbal_sum": 4})
 
 
 SQL_Q05 = """
@@ -222,7 +225,8 @@ def q06_order_priorities(sf_dir: str) -> Dataset:
     orders = _read(sf_dir, "orders", ["o_orderpriority"])
     return grouped_aggregate(
         orders, ["o_orderpriority"],
-        [("o_orderpriority", "count", "n_orders")]).sort("o_orderpriority")
+        [("o_orderpriority", "count", "n_orders")],
+        merge="single", sort_keys=["o_orderpriority"])
 
 
 SQL_Q06 = """
@@ -243,8 +247,9 @@ def q07_events_hourly(sf_dir: str) -> Dataset:
     ds = ev.map_batches(add_hour, batch_format="pyarrow")
     agg = grouped_aggregate(
         ds, ["hour"],
-        [("value", "sum", "sum_value"), ("value", "count", "n_events")])
-    return _round_cols(agg, {"sum_value": 4}).sort("hour")
+        [("value", "sum", "sum_value"), ("value", "count", "n_events")],
+        merge="single", sort_keys=["hour"])
+    return _round_cols(agg, {"sum_value": 4})
 
 
 SQL_Q07 = """
@@ -260,13 +265,15 @@ def q08_user_event_stats(sf_dir: str) -> Dataset:
     # two-stage distinct count: (user, type) partials, then per-user
     stage1 = grouped_aggregate(
         ev, ["user_id", "event_type"],
-        [("value", "sum", "_s"), ("value", "count", "_n")])
+        [("value", "sum", "_s"), ("value", "count", "_n")],
+        merge="single")
     stage2 = grouped_aggregate(
         stage1, ["user_id"],
         [("_s", "sum", "sum_value"),
          ("_n", "sum", "n_events"),
-         ("_s", "count", "n_event_types")])
-    return _round_cols(stage2, {"sum_value": 4}).sort("user_id")
+         ("_s", "count", "n_event_types")],
+        merge="single", sort_keys=["user_id"])
+    return _round_cols(stage2, {"sum_value": 4})
 
 
 SQL_Q08 = """
@@ -396,7 +403,7 @@ FROM h ORDER BY doc_id
 
 def q12_dedup_exact(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(docs, "text", "doc_id").sort("doc_id")
+    return exact_dedup(docs, "text", "doc_id")
 
 
 SQL_Q12 = """
@@ -408,7 +415,8 @@ FROM documents GROUP BY text ORDER BY doc_id
 def q13_doc_langs(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["lang"])
     return grouped_aggregate(
-        docs, ["lang"], [("lang", "count", "n_docs")]).sort("lang")
+        docs, ["lang"], [("lang", "count", "n_docs")],
+        merge="single", sort_keys=["lang"])
 
 
 SQL_Q13 = """
@@ -461,8 +469,8 @@ def q14_gazetteer_mentions(sf_dir: str) -> Dataset:
 
     return grouped_aggregate(
         matched.map_batches(explode, batch_format="pyarrow"),
-        ["doc_id", "name"], [("name", "count", "n_mentions")]
-    ).sort(["doc_id", "name"])
+        ["doc_id", "name"], [("name", "count", "n_mentions")],
+        merge="single", sort_keys=["doc_id", "name"])
 
 
 _GAZ_VALUES = ", ".join(f"('{n}')" for n in _DOC_GAZETTEER)
@@ -589,7 +597,7 @@ def q19_simhash_neardup(sf_dir: str) -> Dataset:
 
 def q20_fingerprint_dedup(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return fingerprint_dedup(docs, "text", "doc_id").sort("doc_id")
+    return fingerprint_dedup(docs, "text", "doc_id")
 
 
 def q21_ivf_knn(sf_dir: str) -> Dataset:

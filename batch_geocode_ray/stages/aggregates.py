@@ -77,15 +77,30 @@ def tile_aggregate(ds: Dataset, cell_col: str, buffer_col: str = "best_buffer") 
 
 
 def grouped_aggregate(ds: Dataset, keys: list[str],
-                      specs: list[tuple[str, str, str]]) -> Dataset:
+                      specs: list[tuple[str, str, str]],
+                      merge: str = "shuffle",
+                      sort_keys: list[str] | None = None) -> Dataset:
     """Generic scalable grouped aggregation: per-batch partial combine
-    (pyarrow C++ hash group-by) -> small shuffle of partials ->
-    finalize. ``specs`` entries are ``(column, op, out_name)`` with op in
+    (pyarrow C++ hash group-by) -> merge of partials -> finalize.
+    ``specs`` entries are ``(column, op, out_name)`` with op in
     {"sum", "min", "max", "count", "count_rows", "mean"}.
 
-    The shuffle carries one row per (batch, group) instead of one per
-    input row — the same skew-collapsing property as
+    The partial stage carries one row per (batch, group) instead of one
+    per input row — the same skew-collapsing property as
     :func:`tile_aggregate` (a hot key costs one partial row per batch).
+
+    ``merge``:
+      * ``"shuffle"`` — Ray groupby().aggregate over the partials: the
+        right plan when the GROUP CARDINALITY is large (e.g. per-url
+        dedup at 10^12 rows) since no single worker holds all groups.
+      * ``"single"`` — route all partials to one task (repartition(1))
+        and merge + finalize (+ optional sort) there in one pyarrow
+        group_by. The right plan when groups are few (summary stats,
+        per-segment rollups): the partials total n_blocks x n_groups
+        tiny rows, and this skips two all-to-all operators (Aggregate +
+        Sort), each with ~1-2s fixed cost per query.
+    ``sort_keys`` (single merge only): sort the final table by these
+    columns inside the merge task.
     """
     partial_aggs: list[tuple[str, str]] = []   # (col, pa_fn)
     partial_names: list[str] = []
@@ -131,10 +146,6 @@ def grouped_aggregate(ds: Dataset, keys: list[str],
         # pyarrow returns keys first, then aggregates in spec order
         return g.rename_columns(keys + partial_names)
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-               .groupby(keys[0] if len(keys) == 1 else keys) \
-               .aggregate(*merge_aggs)
-
     def finalize(b: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array | pa.ChunkedArray] = {k: b[k] for k in keys}
         for out, kind, _ in final_exprs:
@@ -151,6 +162,29 @@ def grouped_aggregate(ds: Dataset, keys: list[str],
                         pa.float64(), from_pandas=True)
         return pa.table(cols)
 
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    if merge == "single":
+        # re-combine the partials with the same (sum/min/max of partial)
+        # functions pyarrow-side in ONE task
+        remerge_aggs = []
+        for (col, fn), name in zip(partial_aggs, partial_names):
+            refn = "sum" if fn in ("sum", "count") else fn
+            remerge_aggs.append((name, refn))
+
+        def merge_one(b: pa.Table) -> pa.Table:
+            g = b.group_by(keys).aggregate(remerge_aggs)
+            g = g.rename_columns(keys + partial_names)
+            g = finalize(g)
+            if sort_keys:
+                g = g.sort_by([(k, "ascending") for k in sort_keys])
+            return g
+
+        return partials.repartition(1).map_batches(
+            merge_one, batch_format="pyarrow", batch_size=None)
+
+    merged = partials.groupby(keys[0] if len(keys) == 1 else keys) \
+                     .aggregate(*merge_aggs)
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 

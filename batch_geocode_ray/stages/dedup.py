@@ -171,8 +171,7 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
             "jaccard": pa.array(j[keep], pa.float64()),
         })
 
-    return pair_counts.map_batches(finalize, batch_format="pyarrow") \
-                      .sort(["d1", "d2"])
+    return pair_counts.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +295,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             "est_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow").sort(["d1", "d2"])
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -376,5 +375,4 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
             .groupby(["band", "bucket"])
             .map_groups(emit_pairs, batch_format="pyarrow")
             .groupby(["d1", "d2"])
-            .aggregate(Min("hamming", alias_name="hamming"))
-            .sort(["d1", "d2"]))
+            .aggregate(Min("hamming", alias_name="hamming")))

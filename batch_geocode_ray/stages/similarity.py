@@ -96,8 +96,7 @@ def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
 
     return (ds.map_batches(partial_topk, batch_format="pyarrow")
             .groupby("query_id")
-            .map_groups(final_topk, batch_format="pyarrow")
-            .sort(["query_id", "rank"]))
+            .map_groups(final_topk, batch_format="pyarrow"))
 
 
 def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
@@ -137,7 +136,7 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
             "cosine": pa.array(sims[r, c], pa.float64()),
         })
 
-    return ds.map_batches(emit, batch_format="pyarrow").sort(["d1", "d2"])
+    return ds.map_batches(emit, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -225,5 +224,4 @@ def ivf_knn(ds: Dataset, vec_col: str, id_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("query_id")
-            .map_groups(final_topk, batch_format="pyarrow")
-            .sort(["query_id", "rank"]))
+            .map_groups(final_topk, batch_format="pyarrow"))
