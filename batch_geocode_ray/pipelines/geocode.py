@@ -199,12 +199,15 @@ def build_geocode_pipeline(pages_path: str | list[str],
     return ds
 
 
-def build_tile_aggregates(page_ds: Dataset, res: int = 7) -> Dataset:
+def build_tile_aggregates(page_ds: Dataset, res: int = 7,
+                          merge: str = "shuffle") -> Dataset:
     """Choropleth tile stats per hex cell at ``res``, sorted by cell for
-    deterministic golden output."""
+    deterministic golden output. ``merge="single"`` for small tile
+    counts (skips the Aggregate+Sort all-to-all ops)."""
     import pyarrow.compute as pc
 
     cell_col = f"h3_cell_r{res}"
     with_cell = page_ds.map_batches(
         lambda b: b.filter(pc.is_valid(b[cell_col])), batch_format="pyarrow")
-    return tile_aggregate(with_cell, cell_col).sort(cell_col)
+    out = tile_aggregate(with_cell, cell_col, merge=merge)
+    return out if merge == "single" else out.sort(cell_col)

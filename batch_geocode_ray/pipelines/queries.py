@@ -635,7 +635,7 @@ def q23_tile_aggregates(sf_dir: str) -> Dataset:
 
     pages, world = _fixture_pages_for(sf_dir)
     ds = build_geocode_pipeline(pages, world.gazetteer)
-    return build_tile_aggregates(ds, res=7)
+    return build_tile_aggregates(ds, res=7, merge="single")
 
 
 def _media_table(n: int = 64) -> pa.Table:
@@ -676,6 +676,26 @@ def q25_audio_frames(sf_dir: str) -> Dataset:
         concurrency=(1, 2), num_cpus=0.5).sort("media_id")
 
 
+def q26_hashjoin_revenue(sf_dir: str) -> Dataset:
+    """Big-big shuffle hash join via Ray Data's native ``Dataset.join``
+    (the engine's broadcast join is the preferred plan whenever one side
+    fits in memory — see q03 — but the native hash join is exercised
+    here for the case where neither side does)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        [("o_totalprice", "sum", "total_revenue"),
+         ("o_totalprice", "count", "n_orders")],
+        merge="single", sort_keys=["c_mktsegment"])
+    return _round_cols(agg, {"total_revenue": 4})
+
+
+SQL_Q26 = SQL_Q03  # same semantics, different physical plan
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -706,6 +726,7 @@ QUERIES = {
     "q23_tile_aggregates": q23_tile_aggregates,
     "q24_image_features": q24_image_features,
     "q25_audio_frames": q25_audio_frames,
+    "q26_hashjoin_revenue": q26_hashjoin_revenue,
 }
 
 ORACLE_SQL = {
@@ -726,5 +747,6 @@ ORACLE_SQL = {
     "q15_ngram_dup_pairs": SQL_Q15,
     "q16_embed_knn": SQL_Q16,
     "q17_embed_neardup": SQL_Q17,
+    "q26_hashjoin_revenue": SQL_Q26,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -43,37 +43,25 @@ def cell_partial_aggregate(batch: pa.Table, cell_col: str, buffer_col: str = "be
     return g.rename_columns([cell_col, "buf_sum", "buf_min", "buf_max", "buf_n", "pages"])
 
 
-def tile_aggregate(ds: Dataset, cell_col: str, buffer_col: str = "best_buffer") -> Dataset:
-    """Full two-stage tile aggregate: partial per batch, Sum/Min/Max
-    merge per cell, finalize mean. Output columns:
+def tile_aggregate(ds: Dataset, cell_col: str, buffer_col: str = "best_buffer",
+                   merge: str = "shuffle") -> Dataset:
+    """Full two-stage tile aggregate: partial per batch, merged per
+    cell, finalize mean. Output columns:
     (cell_col, pages, mean_buffer, min_buffer, max_buffer).
+
+    ``merge="shuffle"`` scales to millions of cells (res-9 planet);
+    ``merge="single"`` is the cheap plan when the cell count is known
+    small (regional tiles, coarse resolutions) and sorts by cell.
     """
-    partials = ds.map_batches(
-        lambda b: cell_partial_aggregate(b, cell_col, buffer_col),
-        batch_format="pyarrow",
+    return grouped_aggregate(
+        ds, [cell_col],
+        [(cell_col, "count", "pages"),
+         (buffer_col, "mean", "mean_buffer"),
+         (buffer_col, "min", "min_buffer"),
+         (buffer_col, "max", "max_buffer")],
+        merge=merge,
+        sort_keys=[cell_col] if merge == "single" else None,
     )
-    merged = partials.groupby(cell_col).aggregate(
-        Sum("pages", alias_name="pages"),
-        Sum("buf_sum", alias_name="buf_sum"),
-        Sum("buf_n", alias_name="buf_n"),
-        Min("buf_min", alias_name="min_buffer"),
-        Max("buf_max", alias_name="max_buffer"),
-    )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        n = np.asarray(b["buf_n"].to_numpy(zero_copy_only=False), dtype=np.float64)
-        s = np.asarray(b["buf_sum"].to_numpy(zero_copy_only=False), dtype=np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
-        return pa.table({
-            cell_col: b[cell_col],
-            "pages": b["pages"],
-            "mean_buffer": pa.array(mean, pa.float64(), from_pandas=True),
-            "min_buffer": b["min_buffer"],
-            "max_buffer": b["max_buffer"],
-        })
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def grouped_aggregate(ds: Dataset, keys: list[str],

@@ -38,22 +38,66 @@ from batch_geocode_ray.functions.hashing import (
     minhash_signature,
     shingle_hashes,
     simhash64,
+    splitmix64,
     stable_hash64_array,
 )
 from batch_geocode_ray.functions.text import tokens_column
 
 
 # ---------------------------------------------------------------------------
+# adaptive execution: small-side collapse
+# ---------------------------------------------------------------------------
+
+# Adaptive threshold (like Spark AQE's shuffle->broadcast conversion):
+# once an intermediate is materialized and measures below this, the rest
+# of the computation collapses into ONE task instead of paying 1-2s of
+# fixed cost per all-to-all operator. Above it, the shuffle plan runs.
+SMALL_COLLAPSE_BYTES = 256 << 20
+
+
+def _probe_small(ds: Dataset, small_bytes: int | None = None):
+    """Materialize and report (materialized_ds, fits_one_task)."""
+    if small_bytes is None:
+        small_bytes = SMALL_COLLAPSE_BYTES  # read at call time (testable)
+    m = ds.materialize()
+    size = m.size_bytes() or 0
+    return m, size < small_bytes
+
+
+def _one_task(ds: Dataset, fn) -> Dataset:
+    """Run ``fn`` over the WHOLE (small) dataset as one task."""
+    return ds.repartition(1).map_batches(fn, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # exact & fingerprint dedup
 # ---------------------------------------------------------------------------
+
+def _keyed_first(ds: Dataset, key: str, id_col: str, count_name: str,
+                 keep_key: bool) -> Dataset:
+    """min(id) + count per key — shuffle plan for big key spaces, single
+    task when the (key, id) projection measures small."""
+    proj, small = _probe_small(ds)
+    if small:
+        def one(b: pa.Table) -> pa.Table:
+            g = b.group_by(key).aggregate([(id_col, "min"), (key, "count")])
+            g = g.rename_columns([key, id_col, count_name])
+            cols = [key, id_col, count_name] if keep_key else [id_col, count_name]
+            return g.select(cols)
+        return _one_task(proj, one)
+    g = proj.groupby(key).aggregate(Min(id_col, alias_name=id_col),
+                                    Count(alias_name=count_name))
+    return g if keep_key else g.select_columns([id_col, count_name])
+
 
 def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
     """Exact dedup: one surviving row per distinct ``text_col`` value —
     the smallest ``id_col`` — plus the copy count.
 
-    Shuffles (hash, id) only; equivalent to SQL
-    ``SELECT min(id), count(*) GROUP BY text`` (64-bit hash collisions
-    are the usual negligible caveat).
+    Shuffles (hash, id) only — the document payload never moves;
+    equivalent to SQL ``SELECT min(id), count(*) GROUP BY text`` (64-bit
+    hash collisions are the usual negligible caveat).
     Output: (``id_col``, n_copies), one row per distinct value.
     """
 
@@ -64,18 +108,15 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
             id_col: b[id_col],
         })
 
-    g = (ds.map_batches(to_hash, batch_format="pyarrow")
-           .groupby("_h")
-           .aggregate(Min(id_col, alias_name=id_col),
-                      Count(alias_name="n_copies")))
-    return g.select_columns([id_col, "n_copies"])
+    return _keyed_first(ds.map_batches(to_hash, batch_format="pyarrow"),
+                        "_h", id_col, "n_copies", keep_key=False)
 
 
 def fingerprint_dedup(ds: Dataset, text_col: str, id_col: str,
                       k: int = 3) -> Dataset:
     """Near-dup prefilter by winnowing fingerprint (min rolling k-gram
     hash): groups of documents sharing the fingerprint keep the smallest
-    id. Output: (``id_col``, fingerprint, n_members)."""
+    id. Output: (fingerprint, ``id_col``, n_members)."""
     from batch_geocode_ray.functions.text import fingerprint_column
 
     def to_fp(b: pa.Table) -> pa.Table:
@@ -85,10 +126,8 @@ def fingerprint_dedup(ds: Dataset, text_col: str, id_col: str,
             id_col: b[id_col],
         })
 
-    return (ds.map_batches(to_fp, batch_format="pyarrow")
-              .groupby("fingerprint")
-              .aggregate(Min(id_col, alias_name=id_col),
-                         Count(alias_name="n_members")))
+    return _keyed_first(ds.map_batches(to_fp, batch_format="pyarrow"),
+                        "fingerprint", id_col, "n_members", keep_key=True)
 
 
 # ---------------------------------------------------------------------------
@@ -96,22 +135,37 @@ def fingerprint_dedup(ds: Dataset, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def _doc_grams(b: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
-    """Explode each doc into its DISTINCT k-token grams (string form, to
-    stay 1:1 with the SQL oracle)."""
+    """Explode each doc into its DISTINCT k-token grams, as 64-bit
+    rolling hashes (distinct hashes == distinct grams up to a ~1e-7
+    collision chance over millions of grams — the shuffle then moves
+    8-byte keys instead of strings, and gram construction is NumPy over
+    token-hash arrays instead of Python string joins). Docs with fewer
+    than k tokens emit nothing (SQL oracle: ``len(t) >= k``)."""
     toks = tokens_column(b[text_col])
+    flat = toks.flatten()
+    parents = np.asarray(toks.value_parent_indices())
+    nonempty = np.asarray(pc.utf8_length(flat)) > 0
+    hashes = stable_hash64_array(flat.filter(pa.array(nonempty)))
+    parents = parents[nonempty]
+    counts = np.zeros(b.num_rows, dtype=np.int64)
+    np.add.at(counts, parents, 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
     ids = b[id_col].to_numpy(zero_copy_only=False)
-    out_ids: list[int] = []
-    out_grams: list[str] = []
-    for i, t in enumerate(toks.to_pylist()):
-        t = [x for x in t if x]
-        if len(t) < k:
+    out_ids: list[np.ndarray] = []
+    out_grams: list[np.ndarray] = []
+    for i in range(b.num_rows):
+        h = hashes[offsets[i]:offsets[i + 1]]
+        if len(h) < k:
             continue
-        grams = {" ".join(t[j:j + k]) for j in range(len(t) - k + 1)}
-        out_ids.extend([int(ids[i])] * len(grams))
-        out_grams.extend(grams)
+        sh = shingle_hashes(h, k)  # unique rolling k-gram hashes
+        out_ids.append(np.full(len(sh), int(ids[i]), dtype=np.int64))
+        out_grams.append(sh.astype(np.int64))
+    if not out_ids:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.int64())})
     return pa.table({
-        id_col: pa.array(out_ids, pa.int64()),
-        "gram": pa.array(out_grams, pa.string()),
+        id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+        "gram": pa.array(np.concatenate(out_grams), pa.int64()),
     })
 
 
@@ -126,9 +180,55 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     set) -> groupby(pair) count -> finalize with broadcast per-doc gram
     counts. Output: (d1, d2, jaccard) sorted by (d1, d2).
     """
-    grams = ds.map_batches(
+    grams, small = _probe_small(ds.map_batches(
         lambda b: _doc_grams(b, text_col, id_col, k),
-        batch_format="pyarrow").materialize()  # reused twice (sizes + pairs)
+        batch_format="pyarrow"))  # materialized: reused twice (sizes + pairs)
+
+    if small:
+        # whole similarity join in one task over the (id, gram) table
+        def all_pairs(b: pa.Table) -> pa.Table:
+            g = np.asarray(b["gram"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            uid, ucnt = np.unique(ids, return_counts=True)  # per-doc sizes
+            order = np.lexsort((ids, g))
+            g, ids = g[order], ids[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(g))[0] + 1, [len(g)]])
+            lens = np.diff(bounds)
+            d1s, d2s = [], []
+            for si in np.nonzero(lens > 1)[0]:
+                seg = ids[bounds[si]:bounds[si + 1]]
+                if max_posting is not None and len(seg) > max_posting:
+                    continue
+                a, b_ = np.triu_indices(len(seg), k=1)
+                d1s.append(seg[a])
+                d2s.append(seg[b_])
+            if not d1s:
+                return pa.table({"d1": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.int64()),
+                                 "jaccard": pa.array([], pa.float64())})
+            d1 = np.concatenate(d1s)
+            d2 = np.concatenate(d2s)
+            order2 = np.lexsort((d2, d1))
+            d1, d2 = d1[order2], d2[order2]
+            new = np.ones(len(d1), dtype=bool)
+            new[1:] = (d1[1:] != d1[:-1]) | (d2[1:] != d2[:-1])
+            starts = np.nonzero(new)[0]
+            shared = np.diff(np.concatenate([starts, [len(d1)]]))
+            pd1, pd2 = d1[starts], d2[starts]
+            n1 = ucnt[np.searchsorted(uid, pd1)]
+            n2 = ucnt[np.searchsorted(uid, pd2)]
+            j = shared * 1.0 / (n1 + n2 - shared)
+            keep = j >= threshold
+            return pa.table({
+                "d1": pa.array(pd1[keep], pa.int64()),
+                "d2": pa.array(pd2[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            })
+
+        return _one_task(grams, all_pairs)
 
     # per-doc distinct-gram counts: tiny (one int per doc) -> broadcast
     sizes_t = (grams.groupby(id_col).aggregate(Count(alias_name="n"))
@@ -141,18 +241,44 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     order = np.argsort(size_ids, kind="stable")
     sizes_ref = ray.put((size_ids[order], size_ns[order]))
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(
-            group[id_col].to_numpy(zero_copy_only=False), dtype=np.int64))
-        if max_posting is not None and len(ids) > max_posting:
+    # Coarse-bucket the grams (gram_hash % n_buckets) so the groupby
+    # runs the Python hook ~n_buckets times, NOT once per distinct gram
+    # (millions). Inside a bucket, segment boundaries over the sorted
+    # (gram, id) arrays find each gram's posting list vectorized; only
+    # multi-doc segments (the rare shared grams) loop.
+    n_buckets = 1024
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        g = np.asarray(b["gram"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return b.append_column(
+            "_bucket", pa.array((g % np.uint64(n_buckets)).astype(np.int64)))
+
+    def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        g = np.asarray(group["gram"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((ids, g))
+        g, ids = g[order], ids[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1, [len(g)]])
+        lens = np.diff(bounds)
+        d1s, d2s = [], []
+        for si in np.nonzero(lens > 1)[0]:
+            seg = ids[bounds[si]:bounds[si + 1]]
+            if max_posting is not None and len(seg) > max_posting:
+                continue
+            a, b_ = np.triu_indices(len(seg), k=1)
+            d1s.append(seg[a])
+            d2s.append(seg[b_])
+        if not d1s:
             return pa.table({"d1": pa.array([], pa.int64()),
                              "d2": pa.array([], pa.int64())})
-        a, b_ = np.triu_indices(len(ids), k=1)
-        return pa.table({"d1": pa.array(ids[a], pa.int64()),
-                         "d2": pa.array(ids[b_], pa.int64())})
+        return pa.table({"d1": pa.array(np.concatenate(d1s), pa.int64()),
+                         "d2": pa.array(np.concatenate(d2s), pa.int64())})
 
-    pair_counts = (grams.groupby("gram")
-                   .map_groups(emit_pairs, batch_format="pyarrow")
+    pair_counts = (grams.map_batches(add_bucket, batch_format="pyarrow")
+                   .groupby("_bucket")
+                   .map_groups(emit_pairs_bucket, batch_format="pyarrow")
                    .groupby(["d1", "d2"])
                    .aggregate(Count(alias_name="shared")))
 
@@ -232,6 +358,49 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5).materialize()
     # materialized: consumed twice (banding + verification broadcast)
 
+    if (sigs.size_bytes() or 0) < SMALL_COLLAPSE_BYTES:
+        def lsh_one(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            sig = np.asarray(
+                b["signature"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False)).reshape(n, num_perm).astype(np.uint64)
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            B = np.uint64(1099511628211)
+            pair_set: set[tuple[int, int]] = set()
+            with np.errstate(over="ignore"):
+                for band in range(bands):
+                    block = sig[:, band * rows_per_band:(band + 1) * rows_per_band]
+                    acc = np.zeros(n, dtype=np.uint64)
+                    for j in range(rows_per_band):
+                        acc = acc * B + block[:, j]
+                    order = np.argsort(acc, kind="stable")
+                    sa, sids = acc[order], ids[order]
+                    bounds = np.concatenate(
+                        [[0], np.nonzero(np.diff(sa))[0] + 1, [n]])
+                    for si in np.nonzero(np.diff(bounds) > 1)[0]:
+                        seg = np.unique(sids[bounds[si]:bounds[si + 1]])
+                        a_, b_ = np.triu_indices(len(seg), k=1)
+                        pair_set.update(zip(seg[a_].tolist(), seg[b_].tolist()))
+            if not pair_set:
+                return pa.table({"d1": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.int64()),
+                                 "est_jaccard": pa.array([], pa.float64())})
+            pairs = np.array(sorted(pair_set), dtype=np.int64)
+            id_order = np.argsort(ids, kind="stable")
+            pos = np.searchsorted(ids[id_order], pairs)
+            s1 = sig[id_order][pos[:, 0]]
+            s2 = sig[id_order][pos[:, 1]]
+            est = (s1 == s2).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({
+                "d1": pa.array(pairs[keep, 0], pa.int64()),
+                "d2": pa.array(pairs[keep, 1], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            })
+
+        return _one_task(sigs, lsh_one)
+
     def band_keys(b: pa.Table) -> pa.Table:
         n = b.num_rows
         sig = np.asarray(
@@ -249,23 +418,42 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                     acc = acc * B + block[:, j]
                 out_band.append(np.full(n, band, dtype=np.int64))
                 out_key.append(acc.astype(np.int64))
+        # fold band index into the bucket hash -> ONE int64 groupby key;
+        # coarse `_bucket` keeps the Python group hook to ~1k calls
+        combined = (np.concatenate(out_key).astype(np.uint64)
+                    ^ splitmix64(np.concatenate(out_band)))
         return pa.table({
-            "band": pa.array(np.concatenate(out_band), pa.int64()),
-            "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+            "bkey": pa.array(combined.astype(np.int64), pa.int64()),
+            "_bucket": pa.array(
+                (combined % np.uint64(1024)).astype(np.int64), pa.int64()),
             id_col: pa.array(np.tile(ids, bands), pa.int64()),
         })
 
     buckets = sigs.map_batches(band_keys, batch_format="pyarrow")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(
-            group[id_col].to_numpy(zero_copy_only=False), dtype=np.int64))
-        a, b_ = np.triu_indices(len(ids), k=1)
-        return pa.table({"d1": pa.array(ids[a], pa.int64()),
-                         "d2": pa.array(ids[b_], pa.int64())})
+    def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        bk = np.asarray(group["bkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(bk))[0] + 1, [len(bk)]])
+        lens = np.diff(bounds)
+        d1s, d2s = [], []
+        for si in np.nonzero(lens > 1)[0]:
+            seg = np.unique(ids[bounds[si]:bounds[si + 1]])
+            a, b_ = np.triu_indices(len(seg), k=1)
+            d1s.append(seg[a])
+            d2s.append(seg[b_])
+        if not d1s:
+            return pa.table({"d1": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        return pa.table({"d1": pa.array(np.concatenate(d1s), pa.int64()),
+                         "d2": pa.array(np.concatenate(d2s), pa.int64())})
 
-    cand = (buckets.groupby(["band", "bucket"])
-            .map_groups(emit_pairs, batch_format="pyarrow")
+    cand = (buckets.groupby("_bucket")
+            .map_groups(emit_pairs_bucket, batch_format="pyarrow")
             .groupby(["d1", "d2"])
             .aggregate(Count(alias_name="_dup")))  # distinct pairs
 
@@ -329,7 +517,50 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
             "simhash": pa.array(out.astype(np.int64), pa.int64()),
         })
 
-    hashed = ds.map_batches(to_simhash, batch_format="pyarrow")
+    hashed, small = _probe_small(ds.map_batches(to_simhash,
+                                                batch_format="pyarrow"))
+
+    if small:
+        def simhash_one(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            hs = np.asarray(b["simhash"].to_numpy(zero_copy_only=False)
+                            ).astype(np.uint64)
+            pair_min: dict[tuple[int, int], int] = {}
+            for band in range(4):
+                block = ((hs >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+                order = np.argsort(block, kind="stable")
+                sb, sids, shs = block[order], ids[order], hs[order]
+                bounds = np.concatenate(
+                    [[0], np.nonzero(np.diff(sb))[0] + 1, [len(sb)]])
+                for si in np.nonzero(np.diff(bounds) > 1)[0]:
+                    seg_ids = sids[bounds[si]:bounds[si + 1]]
+                    seg_hs = shs[bounds[si]:bounds[si + 1]]
+                    _, first = np.unique(seg_ids, return_index=True)
+                    seg_ids, seg_hs = seg_ids[first], seg_hs[first]
+                    a_, b_ = np.triu_indices(len(seg_ids), k=1)
+                    if len(a_) == 0:
+                        continue
+                    hd = hamming64(seg_hs[a_], seg_hs[b_])
+                    keep = hd <= max_hamming
+                    for x, y, d in zip(seg_ids[a_][keep].tolist(),
+                                       seg_ids[b_][keep].tolist(),
+                                       hd[keep].tolist()):
+                        prev = pair_min.get((x, y))
+                        if prev is None or d < prev:
+                            pair_min[(x, y)] = d
+            if not pair_min:
+                return pa.table({"d1": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.int64()),
+                                 "hamming": pa.array([], pa.int64())})
+            items = sorted(pair_min.items())
+            return pa.table({
+                "d1": pa.array([p[0] for p, _ in items], pa.int64()),
+                "d2": pa.array([p[1] for p, _ in items], pa.int64()),
+                "hamming": pa.array([d for _, d in items], pa.int64()),
+            })
+
+        return _one_task(hashed, simhash_one)
 
     def band_rows(b: pa.Table) -> pa.Table:
         h = np.asarray(b["simhash"].to_numpy(zero_copy_only=False)).astype(np.uint64)
@@ -340,39 +571,55 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
             block = (h >> np.uint64(16 * band)) & np.uint64(0xFFFF)
             bands_.append(np.full(len(h), band, dtype=np.int64))
             keys.append(block.astype(np.int64))
+        combined = (np.concatenate(keys).astype(np.uint64)
+                    ^ splitmix64(np.concatenate(bands_)))
         return pa.table({
-            "band": pa.array(np.concatenate(bands_), pa.int64()),
-            "bucket": pa.array(np.concatenate(keys), pa.int64()),
+            "bkey": pa.array(combined.astype(np.int64), pa.int64()),
+            "_bucket": pa.array(
+                (combined % np.uint64(1024)).astype(np.int64), pa.int64()),
             id_col: pa.array(np.tile(ids, 4), pa.int64()),
             "simhash": pa.array(np.tile(
                 np.asarray(b["simhash"].to_numpy(zero_copy_only=False)), 4),
                 pa.int64()),
         })
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
+    def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        bk = np.asarray(group["bkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
         ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False)
                         ).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
-        uniq, first = np.unique(ids, return_index=True)
-        ids, hs = ids[first], hs[first]
-        a, b_ = np.triu_indices(len(ids), k=1)
-        if len(a) == 0:
+        order = np.lexsort((ids, bk))
+        bk, ids, hs = bk[order], ids[order], hs[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(bk))[0] + 1, [len(bk)]])
+        lens = np.diff(bounds)
+        d1s, d2s, hds = [], [], []
+        for si in np.nonzero(lens > 1)[0]:
+            seg_ids = ids[bounds[si]:bounds[si + 1]]
+            seg_hs = hs[bounds[si]:bounds[si + 1]]
+            _, first = np.unique(seg_ids, return_index=True)
+            seg_ids, seg_hs = seg_ids[first], seg_hs[first]
+            a, b_ = np.triu_indices(len(seg_ids), k=1)
+            if len(a) == 0:
+                continue
+            hd = hamming64(seg_hs[a], seg_hs[b_])
+            keep = hd <= max_hamming
+            d1s.append(seg_ids[a][keep])
+            d2s.append(seg_ids[b_][keep])
+            hds.append(hd[keep])
+        if not d1s:
             return pa.table({"d1": pa.array([], pa.int64()),
                              "d2": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        hd = hamming64(hs[a], hs[b_])
-        keep = hd <= max_hamming
         return pa.table({
-            "d1": pa.array(ids[a][keep], pa.int64()),
-            "d2": pa.array(ids[b_][keep], pa.int64()),
-            "hamming": pa.array(hd[keep], pa.int64()),
+            "d1": pa.array(np.concatenate(d1s), pa.int64()),
+            "d2": pa.array(np.concatenate(d2s), pa.int64()),
+            "hamming": pa.array(np.concatenate(hds), pa.int64()),
         })
 
     return (hashed.map_batches(band_rows, batch_format="pyarrow")
-            .groupby(["band", "bucket"])
-            .map_groups(emit_pairs, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(emit_pairs_bucket, batch_format="pyarrow")
             .groupby(["d1", "d2"])
             .aggregate(Min("hamming", alias_name="hamming")))

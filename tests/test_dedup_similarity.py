@@ -100,6 +100,32 @@ def test_fingerprint_dedup(docs_ds):
     assert by_id[2] == 1
 
 
+def test_shuffle_plan_equals_collapsed_plan(docs_ds, monkeypatch):
+    """The adaptive small-side collapse is a physical-plan choice only:
+    forcing the shuffle plan must give identical answers."""
+    import batch_geocode_ray.stages.dedup as dd
+
+    def run_all():
+        return (
+            sorted((r["doc_id"], r["n_copies"])
+                   for r in exact_dedup(docs_ds, "text", "doc_id").take_all()),
+            sorted((r["d1"], r["d2"], round(r["jaccard"], 12))
+                   for r in ngram_jaccard_pairs(docs_ds, "text", "doc_id",
+                                                k=3, threshold=0.8).take_all()),
+            sorted((r["d1"], r["d2"], round(r["est_jaccard"], 12))
+                   for r in minhash_lsh_pairs(docs_ds, "text", "doc_id",
+                                              threshold=0.8).take_all()),
+            sorted((r["d1"], r["d2"], r["hamming"])
+                   for r in simhash_pairs(docs_ds, "text", "doc_id",
+                                          max_hamming=3).take_all()),
+        )
+
+    collapsed = run_all()
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    shuffled = run_all()
+    assert collapsed == shuffled
+
+
 def test_broadcast_join_inner_and_left():
     big = rd.from_arrow(pa.table({
         "k": pa.array([1, 2, 3, 4], pa.int64()),
