@@ -676,6 +676,67 @@ def q25_audio_frames(sf_dir: str) -> Dataset:
         concurrency=(1, 2), num_cpus=0.5).sort("media_id")
 
 
+def q27_event_sessions(sf_dir: str) -> Dataset:
+    """Gap-based sessionization (30-min inactivity gap) — a windowed
+    operator Ray Data lacks natively; see stages/windows.sessionize."""
+    from batch_geocode_ray.stages.windows import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = sessionize(ev, "user_id", "ts", "value", "event_id",
+                     gap_seconds=1800.0)
+    return _round_cols(out, {"sum_value": 4})
+
+
+SQL_Q27 = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM marked
+)
+SELECT user_id, session_n,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value) * 10000) / 10000.0 AS sum_value
+FROM numbered
+GROUP BY user_id, session_n
+ORDER BY user_id, session_n
+"""
+
+
+def q28_top_orders_per_segment(sf_dir: str) -> Dataset:
+    """Per-group top-k (the reference's per-source top-N shape,
+    query_funcs.py:376, over relational data)."""
+    from batch_geocode_ray.stages.windows import grouped_topk
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, "o_custkey", ["c_mktsegment"])
+    return grouped_topk(joined, "c_mktsegment", "o_totalprice",
+                        "o_orderkey", k=3)
+
+
+SQL_Q28 = """
+SELECT c_mktsegment, o_totalprice, o_orderkey, rank FROM (
+  SELECT c_mktsegment, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+
 def q26_hashjoin_revenue(sf_dir: str) -> Dataset:
     """Big-big shuffle hash join via Ray Data's native ``Dataset.join``
     (the engine's broadcast join is the preferred plan whenever one side
@@ -727,6 +788,8 @@ QUERIES = {
     "q24_image_features": q24_image_features,
     "q25_audio_frames": q25_audio_frames,
     "q26_hashjoin_revenue": q26_hashjoin_revenue,
+    "q27_event_sessions": q27_event_sessions,
+    "q28_top_orders_per_segment": q28_top_orders_per_segment,
 }
 
 ORACLE_SQL = {
@@ -748,5 +811,7 @@ ORACLE_SQL = {
     "q16_embed_knn": SQL_Q16,
     "q17_embed_neardup": SQL_Q17,
     "q26_hashjoin_revenue": SQL_Q26,
+    "q27_event_sessions": SQL_Q27,
+    "q28_top_orders_per_segment": SQL_Q28,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -83,12 +83,20 @@ class KNNFacilities:
         return out_ids, out_d
 
     def _topk_grid(self, lon: np.ndarray, lat: np.ndarray):
+        """Grid probe with an EXACTNESS guarantee: ring results are only
+        accepted when the k-th candidate distance is within the ring's
+        guaranteed-coverage radius (anything outside the 1-ring is at
+        least ~0.7 cell-sizes away; km lower-bounded via cos(lat) since
+        longitude degrees shrink poleward). Otherwise fall back to the
+        exact scan — approximate never silently, wrong never."""
         idx = self.index
         k = min(self.k, len(idx.ids))
         cells = hex_cell(lon, lat, idx.grid_res)
+        size_deg = 10.0 / (np.sqrt(7.0) ** idx.grid_res)
         out_ids = np.empty((len(lon), k), dtype=np.int64)
         out_d = np.empty((len(lon), k), dtype=np.float64)
         cache: dict[int, np.ndarray] = {}
+        all_cand = np.arange(len(idx.ids))
         for i in range(len(lon)):
             c = int(cells[i])
             cand = cache.get(c)
@@ -96,11 +104,17 @@ class KNNFacilities:
                 parts = [idx.buckets[b] for b in hex_kring(c, 1) if b in idx.buckets]
                 cand = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
                 cache[c] = cand
-            if len(cand) < k:  # sparse neighborhood -> exact fallback
-                cand = np.arange(len(idx.ids))
-            d = haversine_km(lon[i], lat[i], idx.lon[cand], idx.lat[cand])
-            order = np.lexsort((idx.ids[cand], d))[:k]
-            out_ids[i] = idx.ids[cand[order]]
+            guarantee_km = (0.7 * size_deg * 111.0
+                            * max(np.cos(np.radians(abs(lat[i]))), 0.0))
+            use = cand if len(cand) >= k else all_cand
+            d = haversine_km(lon[i], lat[i], idx.lon[use], idx.lat[use])
+            order = np.lexsort((idx.ids[use], d))[:k]
+            if use is not all_cand and d[order[-1]] > guarantee_km:
+                # k-th hit may be beaten by a facility outside the ring
+                use = all_cand
+                d = haversine_km(lon[i], lat[i], idx.lon[use], idx.lat[use])
+                order = np.lexsort((idx.ids[use], d))[:k]
+            out_ids[i] = idx.ids[use[order]]
             out_d[i] = d[order]
         return out_ids, out_d
 

@@ -1,0 +1,129 @@
+"""Event-stream style operators over a batch table: gap-based
+sessionization and per-group top-k.
+
+Ray Data has no native session windows; ``sessionize`` expresses them
+as: coarse-bucket users (so the Python group hook runs ~n_buckets
+times, not once per user) -> vectorized NumPy session assignment over
+the lexsorted (user, ts) arrays inside each bucket. Partitioning
+assumption: one user's events fit in one group's memory (true even for
+pathological users at billions of events/user — then pre-split by day).
+
+``grouped_topk`` keeps per-group candidates k-bounded inside every
+batch (partial top-k), so the final merge sees at most
+k x n_blocks x n_groups rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from batch_geocode_ray.functions.hashing import splitmix64
+
+
+def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
+               order_col: str, gap_seconds: float = 1800.0,
+               n_buckets: int = 256) -> Dataset:
+    """Gap-based sessions per user.
+
+    A new session starts when the time since the previous event of the
+    SAME user exceeds ``gap_seconds``. Output one row per session:
+    (user_col, session_n [1-based per user], session_start, session_end,
+    n_events, sum_value). Ties in ``ts_col`` order by ``order_col``.
+    """
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def sessions_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        users = np.asarray(g[user_col].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False))
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        val = np.asarray(g[value_col].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        order_v = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        order = np.lexsort((order_v, ts_us, users))
+        users, ts_us, val = users[order], ts_us[order], val[order]
+
+        gap_us = int(gap_seconds * 1_000_000)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (users[1:] != users[:-1]) | \
+                           (ts_us[1:] - ts_us[:-1] > gap_us)
+        sess_id = np.cumsum(new_sess) - 1  # global (bucket-local) session idx
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        # per-user 1-based numbering: rank of session start within user
+        user_of_sess = users[starts]
+        m = len(starts)
+        new_run = np.ones(m, dtype=bool)
+        if m > 1:
+            new_run[1:] = user_of_sess[1:] != user_of_sess[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(m), 0))
+        sess_n = np.arange(m) - run_start + 1
+        sums = np.add.reduceat(val, starts)
+        counts = (ends - starts).astype(np.int64)
+        return pa.table({
+            user_col: pa.array(user_of_sess, pa.int64()),
+            "session_n": pa.array(sess_n, pa.int64()),
+            "session_start": pa.array(
+                ts_us[starts].astype("datetime64[us]")),
+            "session_end": pa.array(
+                ts_us[ends - 1].astype("datetime64[us]")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(sessions_in_bucket, batch_format="pyarrow"))
+
+
+def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
+                 tie_col: str, k: int,
+                 extra_cols: list[str] | None = None) -> Dataset:
+    """Top-k rows per group by ``sort_col`` DESC (ties: ``tie_col``
+    ASC), with a 1-based ``rank`` column — the distributed form of the
+    reference's per-source top-N (query_funcs.py:376).
+
+    Per-batch partial top-k bounds what the merge sees; the final
+    global merge runs in one task (requires k x n_groups small — the
+    summary-query case; use a groupby merge for huge group counts).
+    """
+    cols = [group_col, sort_col, tie_col] + (extra_cols or [])
+    cols = list(dict.fromkeys(cols))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        idx = pc.sort_indices(b, sort_keys=[
+            (group_col, "ascending"), (sort_col, "descending"),
+            (tie_col, "ascending")])
+        b = b.take(idx)
+        g = np.asarray(b[group_col].to_numpy(zero_copy_only=False))
+        new_g = np.ones(len(g), dtype=bool)
+        new_g[1:] = g[1:] != g[:-1]
+        start = np.maximum.accumulate(np.where(new_g, np.arange(len(g)), 0))
+        rank = np.arange(len(g)) - start
+        return b.filter(pa.array(rank < k))
+
+    def final(b: pa.Table) -> pa.Table:
+        b = partial(b)
+        g = np.asarray(b[group_col].to_numpy(zero_copy_only=False))
+        new_g = np.ones(len(g), dtype=bool)
+        new_g[1:] = g[1:] != g[:-1]
+        start = np.maximum.accumulate(np.where(new_g, np.arange(len(g)), 0))
+        rank = np.arange(len(g)) - start + 1
+        return b.append_column("rank", pa.array(rank, pa.int64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
