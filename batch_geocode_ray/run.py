@@ -47,7 +47,8 @@ def main(argv=None):
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
     from batch_geocode_ray import PipelineConfig, configure_for_throughput
@@ -128,7 +129,9 @@ def main(argv=None):
     with open(os.path.join(args.out, "run_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
+    return summary
 
 
 def build_tile_aggregates_from_pages(page_ds, res: int):

@@ -29,22 +29,19 @@ class _Lookup:
             k = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=np.int64)
             order = np.argsort(k, kind="stable")
             self.int_keys = k[order]
-            self.values = {}
-            for c in value_cols:
-                col = table[c]
-                if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
-                    self.values[c] = np.asarray(
-                        col.to_numpy(zero_copy_only=False))[order]
-                else:
-                    self.values[c] = np.array(col.to_pylist(), dtype=object)[order]
             self.dict_keys = None
         else:
+            order = np.arange(table.num_rows)
             self.int_keys = None
-            rows = {c: table[c].to_pylist() for c in [key] + value_cols}
-            self.dict_keys = {
-                kk: i for i, kk in enumerate(rows[key])
-            }
-            self.values = {c: np.array(rows[c], dtype=object) for c in value_cols}
+            self.dict_keys = {kk: i for i, kk in enumerate(keys.to_pylist())}
+        self.values = {}
+        for c in value_cols:
+            col = table[c]
+            if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+                self.values[c] = np.asarray(
+                    col.to_numpy(zero_copy_only=False))[order]
+            else:
+                self.values[c] = np.array(col.to_pylist(), dtype=object)[order]
 
     def probe(self, key_arr: pa.Array | pa.ChunkedArray):
         """Returns (positions, found_mask) into the value arrays."""
