@@ -757,6 +757,56 @@ def q26_hashjoin_revenue(sf_dir: str) -> Dataset:
 SQL_Q26 = SQL_Q03  # same semantics, different physical plan
 
 
+def q29_customers_without_urgent(sf_dir: str) -> Dataset:
+    """Broadcast ANTI join: customers with no urgent-priority order."""
+    import pyarrow.compute as pc_
+
+    from batch_geocode_ray.stages.joins import broadcast_semi_anti
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_orderpriority"])
+    urgent = o.filter(pc_.equal(o["o_orderpriority"], "1-URGENT"))["o_custkey"]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_semi_anti(cust, urgent.combine_chunks(),
+                               "c_custkey", anti=True)
+
+
+SQL_Q29 = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q30_nations_with_presence(sf_dir: str) -> Dataset:
+    """Union + distinct count: nation keys appearing in customer OR
+    supplier, with how many of each."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b["c_nationkey"],
+                            "side": pa.array(["c"] * b.num_rows)}),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b["s_nationkey"],
+                            "side": pa.array(["s"] * b.num_rows)}),
+        batch_format="pyarrow")
+    both = cust.union(supp)
+    return grouped_aggregate(
+        both, ["nationkey", "side"], [("side", "count", "n_rows")],
+        merge="single", sort_keys=["nationkey", "side"])
+
+
+SQL_Q30 = """
+SELECT nationkey, side, count(side) AS n_rows FROM (
+  SELECT c_nationkey AS nationkey, 'c' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 's' AS side FROM supplier
+) GROUP BY nationkey, side ORDER BY nationkey, side
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -790,6 +840,8 @@ QUERIES = {
     "q26_hashjoin_revenue": q26_hashjoin_revenue,
     "q27_event_sessions": q27_event_sessions,
     "q28_top_orders_per_segment": q28_top_orders_per_segment,
+    "q29_customers_without_urgent": q29_customers_without_urgent,
+    "q30_nations_with_presence": q30_nations_with_presence,
 }
 
 ORACLE_SQL = {
@@ -813,5 +865,7 @@ ORACLE_SQL = {
     "q26_hashjoin_revenue": SQL_Q26,
     "q27_event_sessions": SQL_Q27,
     "q28_top_orders_per_segment": SQL_Q28,
+    "q29_customers_without_urgent": SQL_Q29,
+    "q30_nations_with_presence": SQL_Q30,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -99,6 +99,30 @@ class BroadcastJoiner:
         return batch
 
 
+def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
+                        anti: bool = False) -> Dataset:
+    """Semi (keep rows whose key IS in the small set) or anti (keep rows
+    whose key is NOT in it) join against a broadcast key set — the
+    filter-shaped joins, no columns added, big side never shuffles.
+    ``small_keys``: pa.Array / ChunkedArray / numpy of keys.
+    """
+    if isinstance(small_keys, (pa.Array, pa.ChunkedArray)):
+        small_keys = small_keys.to_numpy(zero_copy_only=False)
+    keys_sorted = np.unique(np.asarray(small_keys, dtype=np.int64))
+    ref = ray.put(keys_sorted)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        k = np.asarray(batch[key].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        pos = np.searchsorted(ks, k)
+        pos_c = np.clip(pos, 0, len(ks) - 1)
+        found = (ks[pos_c] == k) if len(ks) else np.zeros(len(k), dtype=bool)
+        return batch.filter(pa.array(~found if anti else found))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def broadcast_join(ds: Dataset, small: pa.Table, key: str,
                    value_cols: list[str], how: str = "inner",
                    rename: dict[str, str] | None = None) -> Dataset:

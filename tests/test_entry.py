@@ -1,0 +1,36 @@
+"""Driver-contract smoke: entry() runs under an existing Ray session
+and every queries() key with an oracle is present, and vice versa."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    # Dataset | DataFrame | Table accepted; count rows without pandas
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow"))
+        names = res.schema().names
+    else:
+        n, names = len(res), list(res.columns)
+    assert n >= 0
+    assert "url" in names and "best_lat" in names
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 25
+    # every oracle key must name an implemented query
+    assert set(oracles) <= set(qs)
+    # every callable takes one positional arg
+    import inspect
+
+    for name, fn in qs.items():
+        params = inspect.signature(fn).parameters
+        assert len(params) >= 1, name
