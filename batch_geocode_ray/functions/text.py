@@ -63,7 +63,10 @@ def extract_text_py(html: bytes | str) -> str:
         s = pat.sub(rep, s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    return _WS_RUN.sub(" ", s).strip()
+    # strip ONLY the explicit ASCII set: bare .strip() is Unicode-aware
+    # (it would eat \x1c-\x1f etc.) and silently diverges from the
+    # RE2/utf8_trim path — found by hypothesis, pinned here.
+    return _WS_RUN.sub(" ", s).strip(" \t\n\r\f\v")
 
 
 def extract_text_column(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -104,10 +104,11 @@ def main(argv=None):
     tile_out = {}
     for res in [int(x) for x in args.tiles.split(",") if x]:
         cols = [f"h3_cell_r{res}", "best_buffer"]
-        ds = rd.read_parquet(
-            [os.path.join(page_out, d_) for d_ in sorted(os.listdir(page_out))
-             if d_.startswith("part-") and not d_.endswith(".json")],
-            columns=cols)
+        # explicit file list: read_parquet expands a single dir but not
+        # a LIST of dirs
+        part_files = sorted(glob.glob(os.path.join(page_out, "part-*",
+                                                   "*.parquet")))
+        ds = rd.read_parquet(part_files, columns=cols)
         tiles = build_tile_aggregates_from_pages(ds, res)
         t_dir = os.path.join(args.out, f"tiles_r{res}")
         if os.path.isdir(t_dir):  # tiles are cheap: always rebuilt fresh

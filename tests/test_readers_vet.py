@@ -78,8 +78,11 @@ def test_cli_runner_resume(tmp_path):
     from batch_geocode_ray.run import main
 
     out = str(tmp_path / "out")
-    s1 = main(["--demo", "600", "--out", out, "--tiles", "7"])
-    assert s1["computed"] >= 1 and s1["rows_out"] == 600
+    args = ["--demo", "12000", "--out", out, "--tiles", "7",
+            "--files-per-partition", "1"]
+    s1 = main(args)
+    assert s1["partitions"] == 3 and s1["computed"] == 3  # 5k-row shards
+    assert s1["rows_out"] == 12000
     assert os.path.exists(os.path.join(out, "run_summary.json"))
-    s2 = main(["--demo", "600", "--out", out, "--tiles", "7"])
-    assert s2["computed"] == 0 and s2["skipped_resume"] == s1["partitions"]
+    s2 = main(args)
+    assert s2["computed"] == 0 and s2["skipped_resume"] == 3
