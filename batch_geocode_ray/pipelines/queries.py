@@ -807,6 +807,28 @@ SELECT nationkey, side, count(side) AS n_rows FROM (
 """
 
 
+def q31_event_props(sf_dir: str) -> Dataset:
+    """JSON scalar extraction (SURVEY §2.9): pull the integer ``k`` out
+    of the events ``props`` JSON column, vectorized with an RE2 kernel
+    (Arrow has no JSON parser; the regex IS the parse for this fixed
+    shape, and the same expression runs in the oracle)."""
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(b["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        return pa.table({"event_id": b["event_id"], "k_value": k})
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+SQL_Q31 = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -842,6 +864,7 @@ QUERIES = {
     "q28_top_orders_per_segment": q28_top_orders_per_segment,
     "q29_customers_without_urgent": q29_customers_without_urgent,
     "q30_nations_with_presence": q30_nations_with_presence,
+    "q31_event_props": q31_event_props,
 }
 
 ORACLE_SQL = {
@@ -867,5 +890,6 @@ ORACLE_SQL = {
     "q28_top_orders_per_segment": SQL_Q28,
     "q29_customers_without_urgent": SQL_Q29,
     "q30_nations_with_presence": SQL_Q30,
+    "q31_event_props": SQL_Q31,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

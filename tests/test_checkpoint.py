@@ -86,6 +86,29 @@ def test_pipeline_tag_invalidates(inputs, tmp_path):
     assert [r.skipped for r in res] == [False, False]  # tag change -> rerun
 
 
+def test_midrun_failure_then_resume(inputs, tmp_path):
+    """A crash mid-run (partition 2 raises) must leave partitions 0-1
+    checkpointed; the retry completes only the unfinished ones and the
+    final output equals an uninterrupted run."""
+    out = str(tmp_path / "run")
+    calls = {"n": 0}
+
+    def flaky_build(files):
+        calls["n"] += 1
+        if calls["n"] == 3:  # third partition build crashes the driver
+            raise RuntimeError("simulated crash")
+        return build(files)
+
+    with pytest.raises(RuntimeError):
+        run_resumable(flaky_build, inputs, out, "v1", files_per_partition=1)
+    done = [d for d in os.listdir(out) if d.endswith(".lineage.json")]
+    assert len(done) == 2  # partitions 0 and 1 checkpointed
+
+    res = run_resumable(build, inputs, out, "v1", files_per_partition=1)
+    assert [r.skipped for r in res] == [True, True, False, False]
+    assert len(read_all(out)) == 40
+
+
 def test_corrupt_lineage_recovers(inputs, tmp_path):
     out = str(tmp_path / "run")
     run_resumable(build, inputs, out, "v1", files_per_partition=2)
