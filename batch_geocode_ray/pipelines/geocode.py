@@ -102,6 +102,29 @@ def _fused_pool_size() -> int:
     return max(2, cpus - 2)
 
 
+# Per-worker soft-state cache for the task-mode fused stage. Ray worker
+# processes persist across tasks, so the state (automaton, R-tree,
+# facility index) builds ONCE per worker on first touch — same
+# amortization as an actor pool, but the stage runs in the pre-started
+# task pool and reaches full cluster parallelism instantly (a fixed
+# 30-actor pool measured ~10s of spin-up, dominating short runs:
+# 960k pages ran 15.4s under actors vs 4.2s under cached tasks).
+_FUSED_STATE_CACHE: dict = {}
+
+
+def _fused_task_fn(batch: pa.Table, *, cache_key, gazetteer, config,
+                   lang_cc_prior, polygons, facilities,
+                   verify_extraction, with_knn) -> pa.Table:
+    stage = _FUSED_STATE_CACHE.get(cache_key)
+    if stage is None:
+        stage = GeocodeFusedStage(
+            gazetteer, config, lang_cc_prior=lang_cc_prior,
+            polygons=polygons, facilities=facilities,
+            verify_extraction=verify_extraction, with_knn=with_knn)
+        _FUSED_STATE_CACHE[cache_key] = stage
+    return stage(batch)
+
+
 def build_geocode_pipeline(pages_path: str | list[str],
                            gazetteer: pa.Table,
                            admin_polygons: pa.Table | None = None,
@@ -110,13 +133,20 @@ def build_geocode_pipeline(pages_path: str | list[str],
                            lang_cc_prior=None,
                            verify_extraction: bool = False,
                            with_knn: bool = False,
-                           fused: bool = True) -> Dataset:
+                           fused: bool = True,
+                           stateful_mode: str = "task") -> Dataset:
     """Page-level geocode Dataset: url/lang + wide geocode columns +
     cells + admin assignment (+ optional kNN).
 
     ``fused=True`` (default) runs the whole per-page chain in one
-    actor-pool stage (throughput path); ``fused=False`` keeps one
-    operator per stage (useful for per-stage stats and tests)."""
+    stage; ``fused=False`` keeps one operator per stage (per-stage
+    stats, tests). ``stateful_mode`` picks the fused stage's physical
+    plan: ``"task"`` (default) caches the built state per worker
+    process — instant full-cluster parallelism, right whenever the
+    state fits comfortably in every worker; ``"actor"`` uses an
+    explicit actor pool — the right plan when the broadcast state is
+    huge (multi-GB gazetteers) and you want pool-controlled memory
+    residency instead of one copy per worker."""
     gaz_index = GazetteerIndex.from_table(gazetteer)
     cfg = cfg or PipelineConfig(sources=gaz_index.sources)
     if lang_cc_prior is None:
@@ -130,17 +160,28 @@ def build_geocode_pipeline(pages_path: str | list[str],
                     if admin_polygons is not None else None)
         fac_ref = (ray.put(FacilityIndex(facilities))
                    if with_knn and facilities is not None else None)
+        kwargs = {
+            "gazetteer": gaz_ref,
+            "config": cfg,
+            "lang_cc_prior": lang_cc_prior,
+            "polygons": poly_ref,
+            "facilities": fac_ref,
+            "verify_extraction": verify_extraction,
+            "with_knn": with_knn,
+        }
+        if stateful_mode == "task":
+            cache_key = (gaz_ref, poly_ref, fac_ref, verify_extraction,
+                         with_knn, cfg.results_per_app, cfg.max_buffer,
+                         tuple(cfg.hex_resolutions), cfg.s2_level)
+            return ds.map_batches(
+                _fused_task_fn,
+                fn_kwargs={"cache_key": cache_key, **kwargs},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
         return ds.map_batches(
             GeocodeFusedStage,
-            fn_constructor_kwargs={
-                "gazetteer": gaz_ref,
-                "config": cfg,
-                "lang_cc_prior": lang_cc_prior,
-                "polygons": poly_ref,
-                "facilities": fac_ref,
-                "verify_extraction": verify_extraction,
-                "with_knn": with_knn,
-            },
+            fn_constructor_kwargs=kwargs,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=_fused_pool_size(),

@@ -829,6 +829,48 @@ FROM events ORDER BY event_id
 """
 
 
+def q32_rasterize_events(sf_dir: str) -> Dataset:
+    """Raster<->vector slice with a SQL oracle: derive a deterministic
+    point per event (IEEE-identical fmod arithmetic on both engines),
+    rasterize to a 1-degree grid, count + weight-sum per non-empty cell."""
+    from batch_geocode_ray.stages.raster import GridSpec, rasterize_points
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def to_points(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].to_numpy(zero_copy_only=False), np.float64)
+        lon = np.fmod(v * 104729.0, 360.0) - 180.0
+        lat = np.fmod(v * 7919.0, 180.0) - 90.0
+        return pa.table({
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "w": b["value"],
+        })
+
+    pts = ev.map_batches(to_points, batch_format="pyarrow")
+    grid = GridSpec(nx=360, ny=180)
+    out = rasterize_points(pts, grid, "lon", "lat", weight_col="w",
+                           merge="single")
+    return _round_cols(out, {"weight_sum": 4})
+
+
+SQL_Q32 = """
+WITH pts AS (
+  SELECT fmod(value * 104729.0, 360.0) - 180.0 AS lon,
+         fmod(value * 7919.0, 180.0) - 90.0   AS lat,
+         value AS w
+  FROM events
+)
+SELECT CAST(floor(lon + 180.0) AS BIGINT) AS cell_x,
+       CAST(floor(lat + 90.0) AS BIGINT)  AS cell_y,
+       count(*) AS n_points,
+       round(sum(w) * 10000) / 10000.0 AS weight_sum
+FROM pts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -865,6 +907,7 @@ QUERIES = {
     "q29_customers_without_urgent": q29_customers_without_urgent,
     "q30_nations_with_presence": q30_nations_with_presence,
     "q31_event_props": q31_event_props,
+    "q32_rasterize_events": q32_rasterize_events,
 }
 
 ORACLE_SQL = {
@@ -891,5 +934,6 @@ ORACLE_SQL = {
     "q29_customers_without_urgent": SQL_Q29,
     "q30_nations_with_presence": SQL_Q30,
     "q31_event_props": SQL_Q31,
+    "q32_rasterize_events": SQL_Q32,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -24,7 +24,9 @@ def test_fused_equals_unfused():
     )
     fused = collect(build_geocode_pipeline(f"{d}/pages", fused=True, **kwargs))
     unfused = collect(build_geocode_pipeline(f"{d}/pages", fused=False, **kwargs))
-    assert len(fused) == len(unfused) == 300
+    actor = collect(build_geocode_pipeline(f"{d}/pages", fused=True,
+                                           stateful_mode="actor", **kwargs))
+    assert len(fused) == len(unfused) == len(actor) == 300
     assert fused[0].keys() == unfused[0].keys()
-    for a, b in zip(fused, unfused):
-        assert a == b
+    for a, b, c in zip(fused, unfused, actor):
+        assert a == b == c
