@@ -871,6 +871,31 @@ ORDER BY 1, 2
 """
 
 
+def q33_events_last_order(sf_dir: str) -> Dataset:
+    """Backward AS-OF join (a join type Ray Data lacks): each event gets
+    the latest order date of the matching customer at or before the
+    event time. Only the matched timestamp is emitted — among
+    duplicate (customer, date) orders the payload would be
+    tie-ambiguous, the date itself is not."""
+    from batch_geocode_ray.stages.joins import broadcast_asof
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    return broadcast_asof(ev, orders, "user_id", "ts",
+                          "o_custkey", "o_orderdate", ["o_orderdate"],
+                          out_names={"o_orderdate": "last_order_date"})
+
+
+SQL_Q33 = """
+SELECT event_id, user_id, ts, o_orderdate AS last_order_date
+FROM events
+ASOF LEFT JOIN orders
+  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -908,6 +933,7 @@ QUERIES = {
     "q30_nations_with_presence": q30_nations_with_presence,
     "q31_event_props": q31_event_props,
     "q32_rasterize_events": q32_rasterize_events,
+    "q33_events_last_order": q33_events_last_order,
 }
 
 ORACLE_SQL = {
@@ -935,5 +961,6 @@ ORACLE_SQL = {
     "q30_nations_with_presence": SQL_Q30,
     "q31_event_props": SQL_Q31,
     "q32_rasterize_events": SQL_Q32,
+    "q33_events_last_order": SQL_Q33,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

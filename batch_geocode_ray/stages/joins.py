@@ -123,6 +123,81 @@ def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def broadcast_asof(ds: Dataset, small: pa.Table, key: str, ts_col: str,
+                   small_key: str, small_ts: str,
+                   value_cols: list[str],
+                   out_names: dict[str, str] | None = None) -> Dataset:
+    """Backward as-of join: for each big-side row, attach the small-side
+    row with the same key and the LATEST ``small_ts`` <= ``ts_col``
+    (left-join semantics: no match -> nulls).
+
+    The small side is sorted once by (key, ts) and broadcast; each batch
+    segments its rows by key and binary-searches the key's timestamp
+    run — vectorized within each key segment, never per row. Among
+    small-side ties on (key, ts) the last row in (key, ts) sort order
+    wins; emit only tie-unambiguous value columns (e.g. the matched
+    timestamp) when the small side can hold duplicates.
+    """
+    out_names = out_names or {}
+    sk = np.asarray(small[small_key].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    sts = np.asarray(small[small_ts].to_numpy(zero_copy_only=False))
+    sts_i = sts.astype("datetime64[us]").astype(np.int64) \
+        if sts.dtype.kind == "M" else sts.astype(np.int64)
+    order = np.lexsort((sts_i, sk))
+    sk, sts_i = sk[order], sts_i[order]
+    uniq_keys = np.unique(sk)
+    key_starts = np.searchsorted(sk, uniq_keys)
+    key_ends = np.searchsorted(sk, uniq_keys, side="right")
+    values = {}
+    for c in value_cols:
+        col = small[c]
+        if pa.types.is_timestamp(col.type):
+            values[c] = np.asarray(col.to_numpy(zero_copy_only=False))[order]
+        elif pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+            values[c] = np.asarray(col.to_numpy(zero_copy_only=False))[order]
+        else:
+            values[c] = np.array(col.to_pylist(), dtype=object)[order]
+    ref = ray.put((uniq_keys, key_starts, key_ends, sts_i, values))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ukeys, kstart, kend, s_ts, vals = ray.get(ref)
+        bk = np.asarray(batch[key].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        bts = np.asarray(batch[ts_col].to_numpy(zero_copy_only=False))
+        bts_i = bts.astype("datetime64[us]").astype(np.int64) \
+            if bts.dtype.kind == "M" else bts.astype(np.int64)
+        n = len(bk)
+        match = np.full(n, -1, dtype=np.int64)
+        row_order = np.lexsort((bts_i, bk))
+        bk_s = bk[row_order]
+        seg_bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(bk_s))[0] + 1, [n]]) if n else [0]
+        for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+            kpos = np.searchsorted(ukeys, bk_s[s])
+            if kpos >= len(ukeys) or ukeys[kpos] != bk_s[s]:
+                continue
+            i0, i1 = kstart[kpos], kend[kpos]
+            rows = row_order[s:e]
+            idx = np.searchsorted(s_ts[i0:i1], bts_i[rows], side="right") - 1
+            ok = idx >= 0
+            match[rows[ok]] = i0 + idx[ok]
+        found = match >= 0
+        safe = np.clip(match, 0, None)
+        for c in value_cols:
+            v = vals[c][safe]
+            name = out_names.get(c, c)
+            if v.dtype == object:
+                batch = batch.append_column(name, pa.array(
+                    [x if f else None for x, f in zip(v, found)], pa.string()))
+            else:
+                batch = batch.append_column(
+                    name, pa.array(v, from_pandas=True, mask=~found))
+        return batch
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def broadcast_join(ds: Dataset, small: pa.Table, key: str,
                    value_cols: list[str], how: str = "inner",
                    rename: dict[str, str] | None = None) -> Dataset:
