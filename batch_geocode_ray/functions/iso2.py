@@ -13,7 +13,6 @@ version of the reference's DataFrame-wide ``.unique()``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -19,7 +19,6 @@ the merge is a distributed join:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset

@@ -22,7 +22,6 @@ import argparse
 import glob
 import json
 import os
-import sys
 
 import pyarrow.parquet as pq
 
@@ -54,10 +53,7 @@ def main(argv=None):
     from batch_geocode_ray import PipelineConfig, configure_for_throughput
     configure_for_throughput()
 
-    from batch_geocode_ray.pipelines.geocode import (
-        build_geocode_pipeline,
-        build_tile_aggregates,
-    )
+    from batch_geocode_ray.pipelines.geocode import build_geocode_pipeline
     from batch_geocode_ray.state.checkpoint import load_lineage, run_resumable
 
     if args.demo is not None:

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from batch_geocode_ray.functions.hashing import (
     hamming64,

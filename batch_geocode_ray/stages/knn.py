@@ -61,10 +61,6 @@ def knn_partitioned(points: "Dataset", facilities: "Dataset", k: int = 3,
     in a worker's memory — pick ``grid_res`` so the densest cell does.
     Points with null coordinates are dropped (no cell).
     """
-    import pyarrow.compute as pc
-
-    from ray.data import Dataset  # noqa: F401  (type only)
-
     size_deg = 10.0 / (np.sqrt(7.0) ** grid_res)
 
     def fac_explode(b: pa.Table) -> pa.Table:

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pyarrow as pa
 
 from batch_geocode_ray.functions.ahocorasick import TokenAhoCorasick

@@ -17,7 +17,6 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 
 def _matrix_of(batch: pa.Table, vec_col: str) -> np.ndarray:
