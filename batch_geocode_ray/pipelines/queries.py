@@ -896,6 +896,124 @@ ORDER BY event_id
 """
 
 
+def q34_corpus_curation(sf_dir: str) -> Dataset:
+    """End-to-end training-corpus curation — the composition the dedup /
+    quality operators exist for. Keep a document iff:
+      1. it is the smallest-id copy of its exact text (exact dedup);
+      2. it is not the larger-id side of any trigram-Jaccard >= 0.8
+         near-dup pair (near-dup dedup);
+      3. n_tokens >= 30 and stopword_ratio <= 0.5 (quality gate);
+      4. its marker-stopword language id is 'en' (language gate).
+    Output: surviving (doc_id, n_tokens)."""
+    from batch_geocode_ray.functions.text import langid_table, quality_table
+    from batch_geocode_ray.stages.joins import broadcast_semi_anti
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # gates 3+4 are per-row; compute once
+    def gates(b: pa.Table) -> pa.Table:
+        q = quality_table(b["text"])
+        lang = langid_table(b["text"])["pred_lang"]
+        keep = ((q["n_tokens"] >= 30) & (q["stopword_ratio"] <= 0.5)
+                & (lang == "en"))
+        t = pa.table({
+            "doc_id": b["doc_id"],
+            "text": b["text"],
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+        })
+        return t.filter(pa.array(keep))
+
+    gated = docs.map_batches(gates, batch_format="pyarrow").materialize()
+
+    # gate 1: exact-dedup survivors (broadcast the kept-id set)
+    survivors = exact_dedup(gated, "text", "doc_id")
+    keep_ids = pa.concat_tables(
+        [ray.get(r) for r in survivors.to_arrow_refs()])["doc_id"]
+    step1 = broadcast_semi_anti(gated, keep_ids.combine_chunks(), "doc_id")
+
+    # gate 2: drop the larger-id side of near-dup pairs
+    pairs = ngram_jaccard_pairs(gated, "text", "doc_id",
+                                k=3, threshold=0.8)
+    d2 = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])["d2"]
+    cleaned = broadcast_semi_anti(step1, d2.combine_chunks(), "doc_id",
+                                  anti=True)
+    return cleaned.select_columns(["doc_id", "n_tokens"])
+
+
+SQL_Q34 = f"""
+WITH gated AS (
+  SELECT doc_id, text, len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 30
+    AND len(list_filter({_SQL_TOKS},
+          x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        / len({_SQL_TOKS}) <= 0.5
+    AND (
+      WITH t AS (SELECT {_SQL_TOKS} AS toks)
+      SELECT CASE
+        WHEN greatest(
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))),
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to'))),
+          len(list_filter(toks, x -> x IN ('el','la','de','y','los'))),
+          len(list_filter(toks, x -> x IN ('le','la','les','et','des')))) = 0
+          THEN 'und'
+        WHEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+          = greatest(
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))),
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to'))),
+          len(list_filter(toks, x -> x IN ('el','la','de','y','los'))),
+          len(list_filter(toks, x -> x IN ('le','la','les','et','des'))))
+          THEN 'de'
+        WHEN len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+          = greatest(
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))),
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to'))),
+          len(list_filter(toks, x -> x IN ('el','la','de','y','los'))),
+          len(list_filter(toks, x -> x IN ('le','la','les','et','des'))))
+          THEN 'en'
+        ELSE 'xx' END FROM t) = 'en'
+), exact_kept AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
+), toks2 AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM gated
+), grams AS (
+  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS g
+  FROM toks2 CROSS JOIN LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), dup_larger AS (
+  SELECT DISTINCT b.doc_id AS d2
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) * 1.0 / (
+    (SELECT n FROM sizes WHERE doc_id = min(a.doc_id))
+    + (SELECT n FROM sizes WHERE doc_id = min(b.doc_id))
+    - count(*)) >= 0.8
+)
+SELECT g.doc_id, g.n_tokens
+FROM gated g
+JOIN exact_kept e ON e.doc_id = g.doc_id
+WHERE g.doc_id NOT IN (SELECT d2 FROM dup_larger)
+ORDER BY g.doc_id
+"""
+
+
+def q35_embedding_clusters(sf_dir: str) -> Dataset:
+    """Distributed k-means over the embeddings (iterative broadcast-
+    centroid pattern) + per-cluster sizes. Deterministic (seeded init,
+    order-independent partial sums merged in cluster order) but
+    iterative — no SQL oracle by design."""
+    from batch_geocode_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(emb, "embedding", k=8, iters=8)
+    assigned = kmeans_assign(emb, "embedding", "vec_id", cent)
+    return grouped_aggregate(
+        assigned, ["cluster"], [("vec_id", "count", "n_vectors")],
+        merge="single", sort_keys=["cluster"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -934,6 +1052,8 @@ QUERIES = {
     "q31_event_props": q31_event_props,
     "q32_rasterize_events": q32_rasterize_events,
     "q33_events_last_order": q33_events_last_order,
+    "q34_corpus_curation": q34_corpus_curation,
+    "q35_embedding_clusters": q35_embedding_clusters,
 }
 
 ORACLE_SQL = {
@@ -962,5 +1082,6 @@ ORACLE_SQL = {
     "q31_event_props": SQL_Q31,
     "q32_rasterize_events": SQL_Q32,
     "q33_events_last_order": SQL_Q33,
+    "q34_corpus_curation": SQL_Q34,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -138,6 +138,86 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+def kmeans_fit(ds: Dataset, vec_col: str, k: int = 8, iters: int = 10,
+               seed: int = 11, sample_size: int = 2048) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Init: deterministic sample -> local k-means (cheap, seeds quality).
+    Each iteration: broadcast centroids, every batch computes assignments
+    and PARTIAL per-cluster (sum, count); the driver merges k x d
+    numbers and updates. The full dataset streams once per iteration;
+    nothing big ever concentrates. Returns (k, d) float64 centroids.
+    """
+    sample_t = pa.concat_tables(
+        [ray.get(r) for r in
+         ds.select_columns([vec_col]).limit(sample_size).to_arrow_refs()])
+    cent = _kmeans(_matrix_of(sample_t, vec_col), k, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix_of(batch, vec_col)
+            if m.shape[0] == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "n": pa.array([], pa.int64())})
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            live = counts > 0
+            return pa.table({
+                "cluster": pa.array(np.nonzero(live)[0], pa.int64()),
+                "vsum": pa.array(list(sums[live]), pa.list_(pa.float64())),
+                "n": pa.array(counts[live], pa.int64()),
+            })
+
+        parts = pa.concat_tables(
+            [ray.get(r) for r in
+             ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()])
+        new_cent = cent.copy()
+        cl = np.asarray(parts["cluster"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ns = np.asarray(parts["n"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        vs = np.asarray(parts["vsum"].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False)).reshape(len(cl), -1)
+        tot_n = np.zeros(len(cent), dtype=np.int64)
+        tot_s = np.zeros_like(cent)
+        np.add.at(tot_n, cl, ns)
+        np.add.at(tot_s, cl, vs)
+        live = tot_n > 0
+        new_cent[live] = tot_s[live] / tot_n[live, None]
+        if np.allclose(new_cent, cent, atol=1e-12):
+            cent = new_cent
+            break
+        cent = new_cent
+    return cent
+
+
+def kmeans_assign(ds: Dataset, vec_col: str, id_col: str,
+                  centroids: np.ndarray) -> Dataset:
+    """Append each vector's nearest-centroid ``cluster`` (int64)."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix_of(batch, vec_col)
+        if m.shape[0] == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], pa.int64())})
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF (scale path, approximate)
 # ---------------------------------------------------------------------------
