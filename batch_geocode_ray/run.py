@@ -44,6 +44,9 @@ def main(argv=None):
                    help="comma-separated hex resolutions for tile aggregates")
     p.add_argument("--files-per-partition", type=int, default=8)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--csv-out", default=None,
+                   help="ALSO write one reference-shaped wide CSV "
+                        "(small outputs only; reference utilities.py:21-31)")
     args = p.parse_args(argv)
 
     owns_ray = not ray.is_initialized()
@@ -114,8 +117,18 @@ def main(argv=None):
         tiles.write_parquet(t_dir)
         tile_out[res] = t_dir
 
+    csv_rows = None
+    if args.csv_out:
+        from batch_geocode_ray.sources.writers import write_reference_csv
+
+        part_files = sorted(glob.glob(os.path.join(page_out, "part-*",
+                                                   "*.parquet")))
+        csv_rows = write_reference_csv(rd.read_parquet(part_files),
+                                       args.csv_out)
+
     summary = {
         "partitions": len(results),
+        "csv_rows": csv_rows,
         "computed": done,
         "skipped_resume": skipped,
         "rows_out": rows,

@@ -86,3 +86,11 @@ def test_cli_runner_resume(tmp_path):
     assert os.path.exists(os.path.join(out, "run_summary.json"))
     s2 = main(args)
     assert s2["computed"] == 0 and s2["skipped_resume"] == 3
+
+    # reference-shaped CSV export off the checkpointed output
+    csv_path = str(tmp_path / "wide.csv")
+    s3 = main(args + ["--csv-out", csv_path])
+    assert s3["csv_rows"] == 12000
+    with open(csv_path) as f:
+        header = [c.strip('"') for c in f.readline().strip().split(",")]
+    assert "best_name" in header and "GM1_buffer" in header
