@@ -1,32 +1,37 @@
-"""Gazetteer mention matcher — stateful actor-pool stage.
+"""Gazetteer mention matcher — stateful stage (actor pool or
+worker-cached task pool; see pipelines/geocode).
 
 Replaces the reference's per-row HTTP geocoding fan-out
-(query_funcs.py:178-191) with an offline Aho-Corasick scan: the
-automaton over all gazetteer place-name token sequences is built ONCE
-per actor in ``__init__`` from a `ray.put` broadcast of the gazetteer
-(SURVEY §2.4), then every batch streams through it.
+(query_funcs.py:178-191) with offline matching of gazetteer phrases
+against page text. Two equivalent engines:
 
-Usage:
-    gaz_ref = ray.put(GazetteerIndex.from_table(gaz_table))
-    ds = ds.map_batches(GazetteerMatcher, fn_constructor_kwargs={"gazetteer": gaz_ref},
-                        batch_format="pyarrow", batch_size=cfg.batch_size,
-                        concurrency=cfg.matcher_concurrency, num_cpus=1)
+  * VECTORIZED (default, ``emit_spans=False``): tokens come from the
+    Arrow C++ tokenizer; each token maps to a vocab code via
+    ``pc.index_in`` (C++); for every phrase length L present in the
+    gazetteer, all length-L windows whose tokens are all in-vocab get a
+    rolling splitmix key, binary-searched against the phrase-key table;
+    hits are verified code-by-code (hash collisions cannot emit).
+    Python touches only the (rare) verified hits. Mention start/end are
+    TOKEN indices within the document.
+  * Aho-Corasick (``emit_spans=True``): the original per-doc automaton
+    scan over ``re.finditer`` tokens; start/end are CHARACTER offsets
+    into the text. Use when downstream needs char spans (snippeting).
 
-Emits a ``mentions`` column:
-    list<struct<gazetteer_id:int64, name:string, start:int32, end:int32>>
-with char spans into the page text; every occurrence of every gazetteer
-phrase is emitted (overlaps included — per-source top-N trimming is the
-resolver's job, mirroring how the reference collects all API results
-before ranking/vetting).
+Both tokenize identically (lowercased [a-z0-9]+ runs), emit every
+occurrence of every phrase (duplicates across sources included), and
+are equality-tested against each other modulo the span unit.
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from batch_geocode_ray.functions.ahocorasick import TokenAhoCorasick
+from batch_geocode_ray.functions.hashing import splitmix64
 from batch_geocode_ray.state.gazetteer import GazetteerIndex
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -39,10 +44,19 @@ MENTION_TYPE = pa.struct([
 ])
 
 
-class GazetteerMatcher:
-    """Callable class for ``map_batches`` actor pools."""
+def _phrase_key(codes: np.ndarray) -> np.ndarray:
+    """Rolling combine over (L, n) code windows -> uint64 keys."""
+    k = splitmix64(codes[0].astype(np.uint64))
+    for j in range(1, len(codes)):
+        k = splitmix64(k ^ codes[j].astype(np.uint64))
+    return k
 
-    def __init__(self, gazetteer, text_col: str = "text"):
+
+class GazetteerMatcher:
+    """Callable class for ``map_batches`` (actor pool or cached task)."""
+
+    def __init__(self, gazetteer, text_col: str = "text",
+                 emit_spans: bool = False):
         import ray
 
         gaz = ray.get(gazetteer) if isinstance(gazetteer, ray.ObjectRef) else gazetteer
@@ -50,9 +64,153 @@ class GazetteerMatcher:
             gaz = GazetteerIndex.from_table(gaz)
         self.gaz: GazetteerIndex = gaz
         self.text_col = text_col
-        self.automaton = TokenAhoCorasick(gaz.phrases, list(range(len(gaz.phrases))))
+        self.emit_spans = emit_spans
 
+        if emit_spans:
+            self.automaton = TokenAhoCorasick(
+                gaz.phrases, list(range(len(gaz.phrases))))
+            return
+
+        # ---- vectorized tables -------------------------------------
+        vocab: dict[str, int] = {}
+        for ph in gaz.phrases:
+            for tok in ph:
+                vocab.setdefault(tok, len(vocab))
+        self.vocab_arr = pa.array(list(vocab), pa.string())
+        # per phrase length: sorted key table -> entry-group offsets
+        by_len: dict[int, list[int]] = {}
+        for e, ph in enumerate(gaz.phrases):
+            if ph:
+                by_len.setdefault(len(ph), []).append(e)
+        self.tables: dict[int, tuple] = {}
+        for L, entries in by_len.items():
+            codes = np.array(
+                [[vocab[t] for t in gaz.phrases[e]] for e in entries],
+                dtype=np.uint64).T            # (L, n_phrases)
+            keys = _phrase_key(codes)
+            order = np.argsort(keys, kind="stable")
+            keys_s = keys[order]
+            entries_s = np.array(entries, dtype=np.int64)[order]
+            codes_s = codes[:, order]
+            # group duplicates (same key: identical phrase in several
+            # sources, or a rare hash collision — verification decides)
+            bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(keys_s))[0] + 1, [len(keys_s)]])
+            self.tables[L] = (keys_s[bounds[:-1]],   # unique keys
+                              bounds,                # group offsets
+                              entries_s,             # entry per slot
+                              codes_s)               # codes per slot
+        self.names_arr = np.array(gaz.names, dtype=object)
+
+    # ------------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit_spans:
+            return self._call_spans(batch)
+        return self._call_vectorized(batch)
+
+    # ---- vectorized path ---------------------------------------------
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        gaz = self.gaz
+        n = batch.num_rows
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # one RE2 pass (split) instead of tokens_column's
+        # lower+replace+trim+split; same token sequence once empties
+        # (edge artifacts of split) are filtered below
+        toks = pc.split_pattern_regex(pc.utf8_lower(col),
+                                      pattern="[^a-z0-9]+")
+        flat = toks.flatten()
+        parents = np.asarray(toks.value_parent_indices())
+        nonempty = np.asarray(pc.utf8_length(flat)) > 0
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+        codes = np.asarray(
+            pc.index_in(flat, value_set=self.vocab_arr).fill_null(-1)
+            .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        m = len(codes)
+        # token index within each doc (for mention start/end)
+        doc_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(doc_counts, parents, 1)
+        doc_starts = np.concatenate([[0], np.cumsum(doc_counts)])[:-1]
+        tok_idx = np.arange(m) - doc_starts[parents] if m else np.empty(0, np.int64)
+
+        hit_rows: list[np.ndarray] = []
+        hit_entry: list[np.ndarray] = []
+        hit_start: list[np.ndarray] = []
+        hit_end: list[np.ndarray] = []
+        for L, (ukeys, bounds, entries_s, codes_s) in self.tables.items():
+            if m < L:
+                continue
+            nwin = m - L + 1
+            valid = parents[:nwin] == parents[L - 1:]
+            win = codes[:nwin] >= 0
+            for j in range(1, L):
+                win = win & (codes[j:j + nwin] >= 0)
+            valid &= win
+            if not valid.any():
+                continue
+            pos0 = np.nonzero(valid)[0]
+            wc = np.stack([codes[pos0 + j] for j in range(L)]).astype(np.uint64)
+            keys = _phrase_key(wc)
+            lookup = np.searchsorted(ukeys, keys)
+            lookup_c = np.clip(lookup, 0, len(ukeys) - 1)
+            cand = ukeys[lookup_c] == keys
+            if not cand.any():
+                continue
+            cpos = np.nonzero(cand)[0]
+            g = lookup_c[cpos]
+            wc_c = wc[:, cpos]                      # (L, C)
+            rows_c = parents[pos0[cpos]]
+            starts_c = tok_idx[pos0[cpos]]
+            gsize = bounds[g + 1] - bounds[g]
+            # verify each candidate against its key-group's slots,
+            # vectorized per slot offset (groups are tiny: duplicates
+            # of one phrase across sources)
+            for o in range(int(gsize.max())):
+                has = o < gsize
+                idxs = np.nonzero(has)[0]
+                slot = bounds[g[idxs]] + o
+                ok = (codes_s[:, slot] == wc_c[:, idxs]).all(axis=0)
+                sel = idxs[ok]
+                if len(sel):
+                    hit_rows.append(rows_c[sel])
+                    hit_entry.append(entries_s[slot[ok]])
+                    hit_start.append(starts_c[sel])
+                    hit_end.append(starts_c[sel] + L)
+
+        if hit_rows:
+            rows = np.concatenate(hit_rows).astype(np.int64)
+            entry = np.concatenate(hit_entry).astype(np.int64)
+            starts = np.concatenate(hit_start).astype(np.int64)
+            ends = np.concatenate(hit_end).astype(np.int64)
+            # stable order: by (row, start, entry) like a scan would emit
+            order = np.lexsort((entry, starts, rows))
+            rows, entry = rows[order], entry[order]
+            starts, ends = starts[order], ends[order]
+        else:
+            rows = entry = starts = ends = np.empty(0, dtype=np.int64)
+
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, rows, 1)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        mentions = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(gaz.ids[entry], pa.int64()),
+                    pa.array(self.names_arr[entry].tolist()
+                             if len(entry) else [], pa.string()),
+                    pa.array(starts.astype(np.int32), pa.int32()),
+                    pa.array(ends.astype(np.int32), pa.int32()),
+                ],
+                fields=list(MENTION_TYPE),
+            ),
+        )
+        return batch.append_column("mentions", mentions)
+
+    # ---- char-span (Aho-Corasick) path --------------------------------
+    def _call_spans(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         gaz = self.gaz
         find_all = self.automaton.find_all
