@@ -80,7 +80,6 @@ class BroadcastJoiner:
         if self.how == "inner" and not found.all():
             batch = batch.filter(pa.array(found))
             pos = pos[found]
-            found = found[:len(pos)]
             found = np.ones(len(pos), dtype=bool)
         for c in lk.value_cols:
             vals = lk.values[c][pos]
