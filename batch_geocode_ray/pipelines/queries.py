@@ -1014,6 +1014,38 @@ def q35_embedding_clusters(sf_dir: str) -> Dataset:
         merge="single", sort_keys=["cluster"])
 
 
+def q36_domain_stats(sf_dir: str) -> Dataset:
+    """Web-corpus URL plumbing: canonicalize page urls, extract the
+    registered domain, count pages + a stable 10% deterministic sample
+    per domain (fixture input — rows-only check)."""
+    import ray.data as rd_
+
+    from batch_geocode_ray.functions.urls import (
+        canonicalize_urls,
+        deterministic_sample_mask,
+        registered_domain_of,
+    )
+
+    pages, _ = _fixture_pages_for(sf_dir)
+
+    def f(b: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(b["url"])
+        dom = registered_domain_of(canon)
+        samp = deterministic_sample_mask(canon, 0.1)
+        return pa.table({
+            "domain": dom,
+            "_one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "_samp": pa.array(samp.astype(np.int64)),
+        })
+
+    ds = rd_.read_parquet(pages, columns=["url"]).map_batches(
+        f, batch_format="pyarrow")
+    return grouped_aggregate(
+        ds, ["domain"],
+        [("_one", "count", "n_pages"), ("_samp", "sum", "n_sampled")],
+        merge="single", sort_keys=["domain"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1054,6 +1086,7 @@ QUERIES = {
     "q33_events_last_order": q33_events_last_order,
     "q34_corpus_curation": q34_corpus_curation,
     "q35_embedding_clusters": q35_embedding_clusters,
+    "q36_domain_stats": q36_domain_stats,
 }
 
 ORACLE_SQL = {
