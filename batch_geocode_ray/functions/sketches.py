@@ -1,0 +1,151 @@
+"""Mergeable sketches for web-scale aggregation (SURVEY mandate's
+"novel sketch" slot): HyperLogLog distinct counting and Misra-Gries
+heavy hitters.
+
+Both are classic streaming summaries with the property that makes them
+Ray-Data-shaped: per-batch partials merge associatively, so a
+`map_batches` partial + tiny driver/single-task merge replaces an
+all-to-all distinct/groupby over 10^12 rows.
+
+  * HLL (Flajolet et al. 2007): p-bit register index, max leading-zero
+    rank per register; standard bias-corrected estimate with small- and
+    large-range corrections. Registers are 2^p bytes — a 4 KB summary
+    of any number of rows. Merge = elementwise max.
+  * Misra-Gries (1982): k-counter frequent-items summary; every item
+    with true frequency > n/k survives; counts under-estimate by at
+    most n/k. Merge = counter addition + decrement by the (k+1)-th
+    largest (Agarwal et al.'s mergeable-summaries rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from batch_geocode_ray.functions.hashing import stable_hash64_array
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_partial(values, p: int = 12) -> np.ndarray:
+    """(2^p,) uint8 register array summarizing this batch's values."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        h = stable_hash64_array(values)
+    else:
+        h = np.asarray(values, dtype=np.uint64)
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # rank = leading zeros of `rest` + 1, capped at 64 - p + 1
+    lz = np.zeros(len(h), dtype=np.uint8)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(partials: list[np.ndarray]) -> np.ndarray:
+    out = partials[0].copy()
+    for r in partials[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate from a register array."""
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:       # small-range correction
+        return m * np.log(m / zeros)
+    if est > (1 << 32) / 30.0:             # large-range correction
+        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def hll_count_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate COUNT(DISTINCT col): per-block 2^p-byte
+    partials, merged on the driver (the merge input is n_blocks x 4 KB
+    regardless of row count)."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = hll_partial(b[col], p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    regs = [np.frombuffer(r, dtype=np.uint8)
+            for t in (ray.get(ref) for ref in parts.to_arrow_refs())
+            for r in t["regs"].to_pylist()]
+    if not regs:
+        return 0.0
+    return hll_estimate(hll_merge(regs))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def mg_partial(values, k: int) -> dict:
+    """k-counter Misra-Gries summary of this batch (exact per-batch via
+    full value_counts, then reduced to k with the standard decrement)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        vc = (values.combine_chunks() if isinstance(values, pa.ChunkedArray)
+              else values).value_counts()
+        items = vc.field("values").to_pylist()
+        counts = np.asarray(vc.field("counts").to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+    else:
+        items, counts = values
+        counts = np.asarray(counts, dtype=np.int64)
+    return _mg_reduce(dict(zip(items, counts.tolist())), k)
+
+
+def _mg_reduce(counter: dict, k: int) -> dict:
+    """Keep at most k entries: subtract the (k+1)-th largest count from
+    all, drop non-positive (the mergeable-summaries reduction)."""
+    counter = {it: int(c) for it, c in counter.items()}  # plain ints (JSON-safe)
+    if len(counter) <= k:
+        return counter
+    counts = np.array(sorted(counter.values(), reverse=True))
+    thresh = int(counts[k])  # (k+1)-th largest
+    return {it: c - thresh for it, c in counter.items() if c - thresh > 0}
+
+
+def mg_merge(partials: list[dict], k: int) -> dict:
+    merged: dict = {}
+    for p_ in partials:
+        for it, c in p_.items():
+            merged[it] = merged.get(it, 0) + c
+    return _mg_reduce(merged, k)
+
+
+def heavy_hitters(ds, col: str, k: int = 16) -> list[tuple]:
+    """Distributed Misra-Gries: items with frequency > n/k are
+    guaranteed present; reported counts under-count by at most n/k.
+    Returns [(item, lower_bound_count)] sorted by count desc."""
+    import json
+
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        summ = mg_partial(b[col], k)
+        return pa.table({"summ": pa.array([json.dumps(summ)], pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    summaries = [json.loads(s)
+                 for t in (ray.get(r) for r in parts.to_arrow_refs())
+                 for s in t["summ"].to_pylist()]
+    merged = mg_merge(summaries, k) if summaries else {}
+    return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -1046,6 +1046,40 @@ def q36_domain_stats(sf_dir: str) -> Dataset:
         merge="single", sort_keys=["domain"])
 
 
+def q37_distinct_urls_hll(sf_dir: str) -> Dataset:
+    """Approximate COUNT(DISTINCT) via mergeable HyperLogLog partials —
+    the 4KB-summary answer to distinct-url counting at 10^12 rows.
+    Deterministic (stable hash) but approximate: rows-only check."""
+    import ray.data as rd_
+
+    from batch_geocode_ray.functions.sketches import hll_count_distinct
+
+    docs = _read(sf_dir, "documents", ["text"])
+    est_docs = hll_count_distinct(docs, "text")
+    ev = _read(sf_dir, "events", ["user_id"])
+    est_users = hll_count_distinct(ev, "user_id")
+    return rd_.from_arrow(pa.table({
+        "metric": pa.array(["distinct_texts_hll", "distinct_users_hll"]),
+        "estimate": pa.array([round(est_docs), round(est_users)], pa.int64()),
+    }))
+
+
+def q38_heavy_hitters(sf_dir: str) -> Dataset:
+    """Misra-Gries heavy hitters over event users (mergeable k-counter
+    summaries; freq > n/k guaranteed caught). Approximate lower-bound
+    counts: rows-only check."""
+    import ray.data as rd_
+
+    from batch_geocode_ray.functions.sketches import heavy_hitters
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    hh = heavy_hitters(ev, "user_id", k=16)
+    return rd_.from_arrow(pa.table({
+        "user_id": pa.array([int(u) for u, _ in hh], pa.int64()),
+        "count_lower_bound": pa.array([c for _, c in hh], pa.int64()),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1087,6 +1121,8 @@ QUERIES = {
     "q34_corpus_curation": q34_corpus_curation,
     "q35_embedding_clusters": q35_embedding_clusters,
     "q36_domain_stats": q36_domain_stats,
+    "q37_distinct_urls_hll": q37_distinct_urls_hll,
+    "q38_heavy_hitters": q38_heavy_hitters,
 }
 
 ORACLE_SQL = {

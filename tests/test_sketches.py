@@ -1,0 +1,65 @@
+"""HLL and Misra-Gries sketch guarantees."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from batch_geocode_ray.functions.sketches import (
+    heavy_hitters,
+    hll_count_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+    mg_merge,
+    mg_partial,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.RandomState(0)
+    vals = [f"item-{i}" for i in rng.randint(0, 50_000, size=200_000)]
+    true = len(set(vals))
+    # split into partials, merge — same answer as one pass
+    one = hll_partial(pa.array(vals))
+    parts = [hll_partial(pa.array(vals[i::7])) for i in range(7)]
+    assert (hll_merge(parts) == one).all()
+    est = hll_estimate(one)
+    assert abs(est - true) / true < 0.05  # p=12 -> ~1.6% typical error
+
+
+def test_hll_small_range():
+    est = hll_estimate(hll_partial(pa.array([f"x{i}" for i in range(10)])))
+    assert abs(est - 10) < 1.5
+    assert hll_estimate(hll_partial(pa.array([], pa.string()))) == 0.0
+
+
+def test_hll_distributed():
+    vals = pa.table({"v": pa.array([f"u{i % 1234}" for i in range(20_000)])})
+    ds = rd.from_arrow(vals).repartition(6)
+    est = hll_count_distinct(ds, "v")
+    assert abs(est - 1234) / 1234 < 0.05
+
+
+def test_mg_guarantees():
+    # stream: one dominant item (40%), few mid, long tail
+    rng = np.random.RandomState(1)
+    items = (["hot"] * 4000 + ["warm"] * 1000 +
+             [f"t{i}" for i in rng.randint(0, 3000, size=5000)])
+    rng.shuffle(items)
+    n, k = len(items), 10
+    parts = [mg_partial(pa.array(items[i::5]), k) for i in range(5)]
+    merged = mg_merge(parts, k)
+    true_hot = 4000
+    # guarantee: any item with freq > n/k survives; count error <= n/k
+    assert "hot" in merged
+    assert true_hot - merged["hot"] <= n / k * 2  # merge of 5 partials
+    assert "warm" in merged
+
+
+def test_mg_distributed():
+    t = pa.table({"v": pa.array(["a"] * 500 + ["b"] * 300 +
+                                [f"x{i}" for i in range(200)])})
+    hh = heavy_hitters(rd.from_arrow(t).repartition(4), "v", k=8)
+    top = [item for item, _ in hh[:2]]
+    assert top == ["a", "b"]
+    assert hh[0][1] <= 500  # lower bound never over-counts
