@@ -106,6 +106,45 @@ def test_extract_arbitrary_bytes(raw):
     assert vec == extract_text_py(raw)
 
 
+# --- vectorized matcher == Aho-Corasick matcher on random worlds ------------
+
+_WORDS = ["alfa", "bravo", "cota", "delta", "eko"]
+_name = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3).map(
+    lambda ws: " ".join(ws))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_name, min_size=1, max_size=6),
+       st.lists(st.sampled_from(_WORDS + ["zed", "yom"]),
+                min_size=0, max_size=25))
+def test_matcher_engines_equivalent(names, doc_words):
+    from batch_geocode_ray.stages.matcher import GazetteerMatcher
+    from batch_geocode_ray.state.gazetteer import GazetteerIndex
+
+    n = len(names)
+    gaz = pa.table({
+        "gazetteer_id": pa.array(range(n), pa.int64()),
+        "name": pa.array(names),
+        "lat": pa.array([0.0] * n), "lon": pa.array([0.0] * n),
+        "bb_n": pa.array([None] * n, pa.float64()),
+        "bb_s": pa.array([None] * n, pa.float64()),
+        "bb_e": pa.array([None] * n, pa.float64()),
+        "bb_w": pa.array([None] * n, pa.float64()),
+        "cc": pa.array([None] * n, pa.string()),
+        "type": pa.array(["t"] * n),
+        "population": pa.array([1] * n, pa.int64()),
+        "source": pa.array(["GM"] * n),
+    })
+    idx = GazetteerIndex.from_table(gaz)
+    batch = pa.table({"text": pa.array([" ".join(doc_words), ""])})
+    fast = GazetteerMatcher(idx, emit_spans=False)(batch)
+    slow = GazetteerMatcher(idx, emit_spans=True)(batch)
+    for f_ms, s_ms in zip(fast["mentions"].to_pylist(),
+                          slow["mentions"].to_pylist()):
+        assert sorted(m["gazetteer_id"] for m in f_ms) == \
+            sorted(m["gazetteer_id"] for m in s_ms)
+
+
 # --- resolver semantics vs the naive oracle on random worlds ----------------
 
 _PLACES = ["Arbor Vale", "Brim", "Cedar Point", "Arbor", "Delta"]
