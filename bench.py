@@ -7,10 +7,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
 
---scaling: run the flagship geocode pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on identical input and report both
-throughputs plus efficiency = (thr32 / thr8) / (32 / 8) — the sandbox
-stand-in for the north rule's N vs 4N-node cluster comparison.
+--scaling: two N->4N CPU pairs (2->8 and 8->32) in FRESH taskset-pinned
+processes on identical cached input; per pair report both throughputs
+plus efficiency = (thr_4N / thr_N) / 4 — the sandbox stand-in for the
+north rule's N vs 4N-node cluster comparison (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "q18_minhash_neardup",      # MinHash LSH
     "q22_geocode_pages",        # flagship: extract->match->vet->cells->PIP->kNN
     "q23_tile_aggregates",      # flagship + salt-free two-stage tile agg
+    "q27_event_sessions",       # gap-based sessionization
+    "q32_rasterize_events",     # raster<->vector
+    "q34_corpus_curation",      # dedup+quality+langid curation pipeline
+    "q37_distinct_urls_hll",    # mergeable sketch
 ]
 
 
