@@ -1080,6 +1080,34 @@ def q38_heavy_hitters(sf_dir: str) -> Dataset:
     }))
 
 
+def q39_hopping_windows(sf_dir: str) -> Dataset:
+    """Hopping-window aggregate (60-min windows every 15 min): overlap
+    explode -> plain grouped aggregate."""
+    from batch_geocode_ray.stages.windows import hopping_window_rows
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    win = hopping_window_rows(ev, "ts", ["value"],
+                              size_minutes=60, hop_minutes=15)
+    agg = grouped_aggregate(
+        win, ["window_start"],
+        [("value", "count", "n_events"), ("value", "sum", "sum_value")],
+        merge="single", sort_keys=["window_start"])
+    return _round_cols(agg, {"sum_value": 4})
+
+
+SQL_Q39 = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (i.i * INTERVAL 15 MINUTE)
+           AS window_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) AS i(i)
+)
+SELECT window_start, count(value) AS n_events,
+       round(sum(value) * 10000) / 10000.0 AS sum_value
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1123,6 +1151,7 @@ QUERIES = {
     "q36_domain_stats": q36_domain_stats,
     "q37_distinct_urls_hll": q37_distinct_urls_hll,
     "q38_heavy_hitters": q38_heavy_hitters,
+    "q39_hopping_windows": q39_hopping_windows,
 }
 
 ORACLE_SQL = {
@@ -1152,5 +1181,6 @@ ORACLE_SQL = {
     "q32_rasterize_events": SQL_Q32,
     "q33_events_last_order": SQL_Q33,
     "q34_corpus_curation": SQL_Q34,
+    "q39_hopping_windows": SQL_Q39,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -88,6 +88,36 @@ def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
             .map_groups(sessions_in_bucket, batch_format="pyarrow"))
 
 
+def hopping_window_rows(ds: Dataset, ts_col: str, value_cols: list[str],
+                        size_minutes: int = 60,
+                        hop_minutes: int = 15) -> Dataset:
+    """Assign each event to every hopping window covering it (window
+    length ``size_minutes``, advancing every ``hop_minutes``) — the
+    overlap explode that turns hopping-window aggregation into a plain
+    groupby("window_start"). Replication factor = size / hop.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size must be a multiple of hop")
+    n_copies = size_minutes // hop_minutes
+
+    def explode(b: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(b[ts_col], multiple=hop_minutes,
+                                   unit="minute")
+        bucket_us = np.asarray(bucket.to_numpy(zero_copy_only=False)
+                               ).astype("datetime64[us]").astype(np.int64)
+        hop_us = hop_minutes * 60_000_000
+        outs = []
+        for i in range(n_copies):
+            cols = {"window_start": pa.array(
+                (bucket_us - i * hop_us).astype("datetime64[us]"))}
+            for c in value_cols:
+                cols[c] = b[c]
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
                  tie_col: str, k: int,
                  extra_cols: list[str] | None = None) -> Dataset:
