@@ -94,6 +94,74 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def cms_partial(values, depth: int = 4, width: int = 2048,
+                seed: int = 99) -> np.ndarray:
+    """(depth, width) int64 Count-Min partial for this batch.
+    Row hashes are independent splitmix streams of the stable value
+    hash; merge = elementwise addition (linear sketch)."""
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        h = stable_hash64_array(values)
+    else:
+        h = np.asarray(values, dtype=np.uint64)
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        hd = splitmix64(h ^ np.uint64(seed + d * 0x9E3779B97F4A7C15))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        np.add.at(sk[d], idx, 1)
+    return sk
+
+
+def cms_merge(partials: list[np.ndarray]) -> np.ndarray:
+    out = partials[0].copy()
+    for p_ in partials[1:]:
+        out += p_
+    return out
+
+
+def cms_query(sketch: np.ndarray, values, seed: int = 99) -> np.ndarray:
+    """Frequency upper bounds for ``values`` (never under-counts; over-
+    counts by at most ~e*n/width with prob 1-e^-depth)."""
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    depth, width = sketch.shape
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        h = stable_hash64_array(values)
+    else:
+        h = np.asarray(values, dtype=np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = splitmix64(h ^ np.uint64(seed + d * 0x9E3779B97F4A7C15))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[d, idx])
+    return est
+
+
+def cms_count(ds, col: str, query_values, depth: int = 4,
+              width: int = 2048) -> np.ndarray:
+    """Distributed frequency estimation: per-block Count-Min partials
+    (depth x width ints each) summed on the driver, then queried for
+    ``query_values``."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = cms_partial(b[col], depth, width)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    sketches = [np.frombuffer(r, dtype=np.int64).reshape(depth, width)
+                for t in (ray.get(ref) for ref in parts.to_arrow_refs())
+                for r in t["sk"].to_pylist()]
+    if not sketches:
+        return np.zeros(len(query_values), dtype=np.int64)
+    return cms_query(cms_merge(sketches), query_values)
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters
 # ---------------------------------------------------------------------------
 

@@ -40,6 +40,33 @@ def test_hll_distributed():
     assert abs(est - 1234) / 1234 < 0.05
 
 
+def test_cms_bounds_and_merge():
+    from batch_geocode_ray.functions.sketches import (
+        cms_count,
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    rng = np.random.RandomState(2)
+    vals = (["big"] * 900 + ["mid"] * 100 +
+            [f"t{i}" for i in rng.randint(0, 500, size=1000)])
+    arr = pa.array(vals)
+    one = cms_partial(arr)
+    split = cms_merge([cms_partial(pa.array(vals[i::4])) for i in range(4)])
+    assert (one == split).all()  # linear sketch: merge == single pass
+    q = pa.array(["big", "mid", "absent"])
+    est = cms_query(one, q)
+    # never under-counts; slack bounded by collisions (n/width small here)
+    assert est[0] >= 900 and est[0] <= 900 + 20
+    assert est[1] >= 100 and est[1] <= 120
+    assert est[2] <= 20
+
+    ds = rd.from_arrow(pa.table({"v": arr})).repartition(4)
+    est_d = cms_count(ds, "v", q)
+    assert (est_d == est).all()
+
+
 def test_mg_guarantees():
     # stream: one dominant item (40%), few mid, long tail
     rng = np.random.RandomState(1)
