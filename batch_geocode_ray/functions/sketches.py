@@ -110,7 +110,7 @@ def cms_partial(values, depth: int = 4, width: int = 2048,
         h = np.asarray(values, dtype=np.uint64)
     sk = np.zeros((depth, width), dtype=np.int64)
     for d in range(depth):
-        hd = splitmix64(h ^ np.uint64(seed + d * 0x9E3779B97F4A7C15))
+        hd = splitmix64(h ^ np.uint64((seed + d * 0x9E3779B97F4A7C15) % (1 << 64)))
         idx = (hd % np.uint64(width)).astype(np.int64)
         np.add.at(sk[d], idx, 1)
     return sk
@@ -135,7 +135,7 @@ def cms_query(sketch: np.ndarray, values, seed: int = 99) -> np.ndarray:
         h = np.asarray(values, dtype=np.uint64)
     est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(depth):
-        hd = splitmix64(h ^ np.uint64(seed + d * 0x9E3779B97F4A7C15))
+        hd = splitmix64(h ^ np.uint64((seed + d * 0x9E3779B97F4A7C15) % (1 << 64)))
         idx = (hd % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, sketch[d, idx])
     return est
