@@ -1108,6 +1108,25 @@ FROM w GROUP BY window_start ORDER BY window_start
 """
 
 
+def q40_price_quantiles(sf_dir: str) -> Dataset:
+    """Exact per-group discrete quantiles (p50/p95 of extended price per
+    return flag), matching DuckDB's quantile_disc element selection."""
+    from batch_geocode_ray.stages.aggregates import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles(li, "l_returnflag", "l_extendedprice",
+                             [0.5, 0.95], ["p50_price", "p95_price"]
+                             ).sort("l_returnflag")
+
+
+SQL_Q40 = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5)  AS p50_price,
+       quantile_disc(l_extendedprice, 0.95) AS p95_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1152,6 +1171,7 @@ QUERIES = {
     "q37_distinct_urls_hll": q37_distinct_urls_hll,
     "q38_heavy_hitters": q38_heavy_hitters,
     "q39_hopping_windows": q39_hopping_windows,
+    "q40_price_quantiles": q40_price_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1182,5 +1202,6 @@ ORACLE_SQL = {
     "q33_events_last_order": SQL_Q33,
     "q34_corpus_curation": SQL_Q34,
     "q39_hopping_windows": SQL_Q39,
+    "q40_price_quantiles": SQL_Q40,
     # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
 }

@@ -176,6 +176,29 @@ def grouped_aggregate(ds: Dataset, keys: list[str],
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_quantiles(ds: Dataset, group_col: str, value_col: str,
+                      qs: list[float], out_names: list[str]) -> Dataset:
+    """EXACT per-group discrete quantiles (DuckDB quantile_disc
+    semantics: the sorted element at index ceil(q*n)-1).
+
+    Runs as groupby().map_groups — one group's values must fit a worker
+    (fine for per-category stats; for mega-groups switch to a mergeable
+    histogram sketch and accept bin-width error).
+    """
+
+    def one_group(g: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(g[value_col].to_numpy(zero_copy_only=False),
+                               dtype=np.float64))
+        n = len(v)
+        cols = {group_col: pa.array([g[group_col][0].as_py()])}
+        for q, name in zip(qs, out_names):
+            idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            cols[name] = pa.array([float(v[idx])], pa.float64())
+        return pa.table(cols)
+
+    return ds.groupby(group_col).map_groups(one_group, batch_format="pyarrow")
+
+
 def salted_groupby_map_groups(ds: Dataset, key: str, partial_fn, final_fn,
                               num_salts: int = 16, batch_format: str = "pandas") -> Dataset:
     """Two-stage skew-resistant grouped computation.
