@@ -106,6 +106,42 @@ def test_extract_arbitrary_bytes(raw):
     assert vec == extract_text_py(raw)
 
 
+# --- grouped_aggregate (both merge plans) == pandas on random tables --------
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 4),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=1, max_size=120))
+def test_grouped_aggregate_matches_pandas(rows):
+    import pandas as pd
+    import ray.data as rd
+
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    want = (t.to_pandas().groupby("k")["v"]
+            .agg(["sum", "min", "max", "mean", "count"]).reset_index()
+            .sort_values("k").reset_index(drop=True))
+    for merge in ("single", "shuffle"):
+        ds = rd.from_arrow(t).repartition(3)
+        got = grouped_aggregate(
+            ds, ["k"],
+            [("v", "sum", "sum"), ("v", "min", "min"), ("v", "max", "max"),
+             ("v", "mean", "mean"), ("v", "count", "count")],
+            merge=merge,
+            sort_keys=["k"] if merge == "single" else None,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == want["k"].tolist(), merge
+        for c in ("sum", "min", "max", "mean"):
+            np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                       atol=1e-9, err_msg=f"{merge}:{c}")
+        assert got["count"].tolist() == want["count"].tolist()
+
+
 # --- vectorized matcher == Aho-Corasick matcher on random worlds ------------
 
 _WORDS = ["alfa", "bravo", "cota", "delta", "eko"]
