@@ -1,9 +1,9 @@
 """Mergeable sketches for web-scale aggregation (SURVEY mandate's
-"novel sketch" slot): HyperLogLog distinct counting and Misra-Gries
-heavy hitters.
+"novel sketch" slot): HyperLogLog distinct counting, Count-Min
+frequency estimation, and Misra-Gries heavy hitters.
 
-Both are classic streaming summaries with the property that makes them
-Ray-Data-shaped: per-batch partials merge associatively, so a
+All three are classic streaming summaries with the property that makes
+them Ray-Data-shaped: per-batch partials merge associatively, so a
 `map_batches` partial + tiny driver/single-task merge replaces an
 all-to-all distinct/groupby over 10^12 rows.
 
@@ -11,6 +11,10 @@ all-to-all distinct/groupby over 10^12 rows.
     rank per register; standard bias-corrected estimate with small- and
     large-range corrections. Registers are 2^p bytes — a 4 KB summary
     of any number of rows. Merge = elementwise max.
+  * Count-Min (Cormode & Muthukrishnan 2005): depth x width counter
+    matrix; frequency queries take the min over depth rows — never
+    under-counts, over-counts by ~n/width whp. Merge = addition
+    (linear sketch).
   * Misra-Gries (1982): k-counter frequent-items summary; every item
     with true frequency > n/k survives; counts under-estimate by at
     most n/k. Merge = counter addition + decrement by the (k+1)-th
