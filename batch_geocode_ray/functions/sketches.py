@@ -65,7 +65,13 @@ def hll_merge(partials: list[np.ndarray]) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Bias-corrected cardinality estimate from a register array."""
+    """Bias-corrected cardinality estimate from a register array.
+
+    Only the small-range (linear-counting) correction applies: the
+    classic 32-bit large-range correction is deliberately omitted — with
+    64-bit hashes, collisions are negligible below ~2^57 distinct values
+    and applying the 2^32-based formula would distort (and above 2^32,
+    NaN) estimates for cardinalities past ~1.4e8."""
     m = len(regs)
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m))
@@ -73,8 +79,6 @@ def hll_estimate(regs: np.ndarray) -> float:
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros > 0:       # small-range correction
         return m * np.log(m / zeros)
-    if est > (1 << 32) / 30.0:             # large-range correction
-        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
     return float(est)
 
 

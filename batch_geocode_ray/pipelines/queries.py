@@ -65,6 +65,18 @@ def _sql_fixed(expr: str, nd: int = 4) -> str:
     return f"round(({expr}) * {10 ** nd}) / {10 ** nd}.0"
 
 
+def _sort_single(ds: Dataset, keys: list[str]) -> Dataset:
+    """Deterministic final ordering for a SMALL result in one task —
+    the driver's value hash is row-order-sensitive, and a Ray ``sort``
+    is an all-to-all (~1-2 s fixed) that tiny results don't need."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.sort_by([(k, "ascending") for k in keys])
+
+    return ds.repartition(1).map_batches(f, batch_format="pyarrow",
+                                         batch_size=None)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -570,8 +582,8 @@ def q17_embed_neardup(sf_dir: str) -> Dataset:
 
 SQL_Q17 = f"""
 SELECT a.vec_id AS d1, b.vec_id AS d2,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS cosine
+       {_sql_fixed('''list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[])''', 6)} AS cosine
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[],
@@ -684,12 +696,16 @@ def q27_event_sessions(sf_dir: str) -> Dataset:
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = sessionize(ev, "user_id", "ts", "value", "event_id",
                      gap_seconds=1800.0)
-    return _round_cols(out, {"sum_value": 4})
+    # sessionize emits rows grouped by the coarse user bucket; the
+    # oracle ends ORDER BY user_id, session_n and the driver hash is
+    # row-order-sensitive -> single-task final sort (tiny result).
+    return _sort_single(_round_cols(out, {"sum_value": 4}),
+                        ["user_id", "session_n"])
 
 
 SQL_Q27 = """
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
@@ -697,7 +713,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_n
   FROM marked
 )

@@ -200,7 +200,7 @@ def grouped_quantiles(ds: Dataset, group_col: str, value_col: str,
 
 
 def salted_groupby_map_groups(ds: Dataset, key: str, partial_fn, final_fn,
-                              num_salts: int = 16, batch_format: str = "pandas") -> Dataset:
+                              num_salts: int = 16, batch_format: str = "pyarrow") -> Dataset:
     """Two-stage skew-resistant grouped computation.
 
     ``partial_fn(group_df) -> df`` runs per (key, salt) group;

@@ -14,48 +14,62 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
 
 
 class _Lookup:
-    """Immutable small-side lookup, built once, broadcast via ray.put."""
+    """Immutable small-side lookup, built once, broadcast via ray.put.
+
+    Precondition (enforced): the small side has UNIQUE keys — dimension
+    semantics, one row per key. A duplicate-keyed small side would need
+    row multiplication (a real 1:N join); use ``Dataset.join`` there.
+    Value columns keep their source Arrow type (probe output is a C++
+    ``take``, no string coercion).
+    """
 
     def __init__(self, table: pa.Table, key: str, value_cols: list[str]):
-        keys = table[key]
+        keys = table[key].combine_chunks() if isinstance(
+            table[key], pa.ChunkedArray) else table[key]
+        n = table.num_rows
+        if n and pc.count_distinct(keys).as_py() != n:
+            raise ValueError(
+                f"broadcast join small side has duplicate '{key}' keys; "
+                "use a shuffle join (Dataset.join) for 1:N semantics")
         self.value_cols = value_cols
         if pa.types.is_integer(keys.type):
             k = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=np.int64)
             order = np.argsort(k, kind="stable")
             self.int_keys = k[order]
-            self.dict_keys = None
+            self.set_keys = None
         else:
-            order = np.arange(table.num_rows)
+            order = np.arange(n)
             self.int_keys = None
-            self.dict_keys = {kk: i for i, kk in enumerate(keys.to_pylist())}
-        self.values = {}
-        for c in value_cols:
-            col = table[c]
-            if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
-                self.values[c] = np.asarray(
-                    col.to_numpy(zero_copy_only=False))[order]
-            else:
-                self.values[c] = np.array(col.to_pylist(), dtype=object)[order]
+            self.set_keys = keys  # pc.index_in value set (C++ hash probe)
+        take_idx = pa.array(order, pa.int64())
+        self.values = {c: (table[c].combine_chunks()
+                           if isinstance(table[c], pa.ChunkedArray)
+                           else table[c]).take(take_idx)
+                       for c in value_cols}
 
     def probe(self, key_arr: pa.Array | pa.ChunkedArray):
         """Returns (positions, found_mask) into the value arrays."""
         if self.int_keys is not None:
             k = np.asarray(
                 key_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+            if len(self.int_keys) == 0:
+                return np.zeros(len(k), dtype=np.int64), np.zeros(len(k), bool)
             pos = np.searchsorted(self.int_keys, k)
             pos_c = np.clip(pos, 0, len(self.int_keys) - 1)
             found = self.int_keys[pos_c] == k
             return pos_c, found
-        keys = key_arr.to_pylist()
-        pos = np.array([self.dict_keys.get(kk, -1) for kk in keys], dtype=np.int64)
-        found = pos >= 0
-        return np.clip(pos, 0, None), found
+        idx = pc.index_in(key_arr, value_set=self.set_keys)
+        found = np.asarray(pc.is_valid(idx))
+        pos = np.asarray(idx.fill_null(0).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pos, found
 
 
 class BroadcastJoiner:
@@ -81,20 +95,13 @@ class BroadcastJoiner:
             batch = batch.filter(pa.array(found))
             pos = pos[found]
             found = np.ones(len(pos), dtype=bool)
+        # positions with a null mask -> Arrow take emits typed nulls for
+        # unmatched rows, preserving each value column's source type
+        idx = (pa.array(pos, pa.int64()) if found.all()
+               else pa.array(pos, pa.int64(), mask=~found))
         for c in lk.value_cols:
-            vals = lk.values[c][pos]
-            out_name = self.rename.get(c, c)
-            if vals.dtype == object:
-                arr = pa.array(
-                    [v if f else None for v, f in zip(vals, found)]
-                    if not found.all() else vals.tolist(),
-                    pa.string())
-            else:
-                arr = pa.array(np.where(found, vals, np.nan) if vals.dtype.kind == "f"
-                               else vals, from_pandas=True)
-                if vals.dtype.kind != "f" and not found.all():
-                    arr = pa.array(vals, mask=~found)
-            batch = batch.append_column(out_name, arr)
+            batch = batch.append_column(self.rename.get(c, c),
+                                        lk.values[c].take(idx))
         return batch
 
 
@@ -103,9 +110,22 @@ def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
     """Semi (keep rows whose key IS in the small set) or anti (keep rows
     whose key is NOT in it) join against a broadcast key set — the
     filter-shaped joins, no columns added, big side never shuffles.
-    ``small_keys``: pa.Array / ChunkedArray / numpy of keys.
+    ``small_keys``: pa.Array / ChunkedArray / numpy of keys (integer or
+    string — strings probe via the C++ ``is_in`` kernel).
     """
-    if isinstance(small_keys, (pa.Array, pa.ChunkedArray)):
+    if isinstance(small_keys, pa.ChunkedArray):
+        small_keys = small_keys.combine_chunks()
+    if isinstance(small_keys, pa.Array) and not pa.types.is_integer(
+            small_keys.type):
+        ref = ray.put(small_keys.unique())
+
+        def f_str(batch: pa.Table) -> pa.Table:
+            found = pc.is_in(batch[key], value_set=ray.get(ref))
+            return batch.filter(pc.invert(found) if anti else found)
+
+        return ds.map_batches(f_str, batch_format="pyarrow")
+
+    if isinstance(small_keys, pa.Array):
         small_keys = small_keys.to_numpy(zero_copy_only=False)
     keys_sorted = np.unique(np.asarray(small_keys, dtype=np.int64))
     ref = ray.put(keys_sorted)

@@ -34,6 +34,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
         return np.where(norms > 0, m / norms, 0.0)
 
 
+def _partial_topk_ties(s: np.ndarray, cand_ids: np.ndarray, kk: int):
+    """Indices of the kk best (sim desc, id asc) candidates — tie-aware.
+
+    Plain ``argpartition(-s, kk-1)[:kk]`` can drop the smaller-id member
+    of a similarity tie at the block's cutoff, diverging from the
+    documented (sim DESC, id ASC) ordering once blocks merge. Keep every
+    candidate at or above the partition threshold, then lexsort only
+    that (small) slice."""
+    part = np.argpartition(-s, kk - 1)[:kk]
+    thresh = s[part].min()
+    at_or_above = np.nonzero(s >= thresh)[0]
+    s2, ids2 = s[at_or_above], cand_ids[at_or_above]
+    sel = np.lexsort((ids2, -s2))[:kk]
+    return at_or_above[sel]
+
+
 def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
                queries: np.ndarray, query_ids: np.ndarray,
                k: int = 5, exclude_self: bool = True) -> Dataset:
@@ -67,7 +83,7 @@ def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
             kk = min(k, len(cand_ids))
             if kk == 0:
                 continue
-            part = np.argpartition(-s, kk - 1)[:kk]
+            part = _partial_topk_ties(s, cand_ids, kk)
             out_q.append(np.full(kk, qids[qi], dtype=np.int64))
             out_n.append(cand_ids[part])
             out_s.append(s[part])
@@ -275,7 +291,7 @@ def ivf_knn(ds: Dataset, vec_col: str, id_col: str,
             s = m[in_probe] @ qmat[qi]
             cand = ids[in_probe]
             kk = min(k, len(cand))
-            part = np.argpartition(-s, kk - 1)[:kk]
+            part = _partial_topk_ties(s, cand, kk)
             out_q.append(np.full(kk, qids[qi], dtype=np.int64))
             out_n.append(cand[part])
             out_s.append(s[part])

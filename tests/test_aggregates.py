@@ -69,9 +69,41 @@ def test_salted_groupby_matches_unsalted():
             "mean_buffer": [df["s"].sum() / max(df["n"].sum(), 1)],
         })
 
-    got = (salted_groupby_map_groups(ds, "h3_cell_r7", partial, final, num_salts=8)
+    got = (salted_groupby_map_groups(ds, "h3_cell_r7", partial, final,
+                                     num_salts=8, batch_format="pandas")
            .to_pandas().sort_values("h3_cell_r7").reset_index(drop=True))
     df = t.to_pandas()
     want = df.groupby("h3_cell_r7")["best_buffer"].mean().reset_index(name="mean_buffer")
     assert got["h3_cell_r7"].tolist() == want["h3_cell_r7"].tolist()
     np.testing.assert_allclose(got["mean_buffer"], want["mean_buffer"], rtol=1e-9)
+
+
+def test_salted_groupby_pyarrow_default_preserves_int64_cells():
+    """Default batch_format must be pyarrow: a pandas round-trip turns
+    nullable int64 cell ids into float64 and corrupts >2^53 values."""
+    big = np.int64(2**62 + 12345)  # not float64-representable exactly
+    t = pa.table({
+        "cell": pa.array([big, big, big + 1], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+
+    def partial(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": pa.array([g["cell"][0].as_py()], pa.int64()),
+            "s": pa.array([float(np.nansum(
+                g["v"].to_numpy(zero_copy_only=False)))]),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": pa.array([g["cell"][0].as_py()], pa.int64()),
+            "sum_v": pa.array([float(np.nansum(
+                g["s"].to_numpy(zero_copy_only=False)))]),
+        })
+
+    out = salted_groupby_map_groups(ds, "cell", partial, final, num_salts=4)
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    rows = dict(zip(tbl["cell"].to_pylist(), tbl["sum_v"].to_pylist()))
+    assert rows == {int(big): 3.0, int(big) + 1: 3.0}
+    assert tbl.schema.field("cell").type == pa.int64()
