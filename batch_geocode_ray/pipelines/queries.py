@@ -922,7 +922,7 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
       4. its marker-stopword language id is 'en' (language gate).
     Output: surviving (doc_id, n_tokens)."""
     from batch_geocode_ray.functions.text import langid_table, quality_table
-    from batch_geocode_ray.stages.joins import broadcast_semi_anti
+    from batch_geocode_ray.stages.joins import semi_anti_join
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -939,21 +939,23 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
         })
         return t.filter(pa.array(keep))
 
+    # ONE shared materialization feeds both dedup branches
     gated = docs.map_batches(gates, batch_format="pyarrow").materialize()
 
-    # gate 1: exact-dedup survivors (broadcast the kept-id set)
+    # gate 1: exact-dedup survivors — the kept-id set STAYS a Dataset
+    # (size-probed semi join: broadcast when small, shuffle left_semi at
+    # scale; never an O(N) driver collect)
     survivors = exact_dedup(gated, "text", "doc_id")
-    keep_ids = pa.concat_tables(
-        [ray.get(r) for r in survivors.to_arrow_refs()])["doc_id"]
-    step1 = broadcast_semi_anti(gated, keep_ids.combine_chunks(), "doc_id")
+    step1 = semi_anti_join(gated, survivors, "doc_id")
 
-    # gate 2: drop the larger-id side of near-dup pairs
+    # gate 2: drop the larger-id side of near-dup pairs (anti join
+    # against the pairs Dataset's d2 column, same adaptive plan)
     pairs = ngram_jaccard_pairs(gated, "text", "doc_id",
                                 k=3, threshold=0.8)
-    d2 = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])["d2"]
-    cleaned = broadcast_semi_anti(step1, d2.combine_chunks(), "doc_id",
-                                  anti=True)
-    return cleaned.select_columns(["doc_id", "n_tokens"])
+    cleaned = semi_anti_join(step1, pairs, "doc_id", right_key="d2",
+                             anti=True)
+    return _sort_single(cleaned.select_columns(["doc_id", "n_tokens"]),
+                        ["doc_id"])
 
 
 SQL_Q34 = f"""

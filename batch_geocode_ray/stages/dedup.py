@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
+
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -68,6 +68,22 @@ def _one_task(ds: Dataset, fn) -> Dataset:
     """Run ``fn`` over the WHOLE (small) dataset as one task."""
     return ds.repartition(1).map_batches(fn, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def join_partitions(cap: int = 64) -> int:
+    """Partition count for Ray's hash-shuffle join, sized to the
+    cluster: each join partition reserves 0.125 CPU of aggregator actor
+    (Ray default), so chaining two unbounded 32-partition joins on a
+    small test cluster (4 CPUs) would reserve EVERY core for aggregators
+    and deadlock the map stages. On a real cluster, scale with cores up
+    to ``cap``."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
 
 
 # ---------------------------------------------------------------------------
@@ -230,16 +246,10 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
 
         return _one_task(grams, all_pairs)
 
-    # per-doc distinct-gram counts: tiny (one int per doc) -> broadcast
-    sizes_t = (grams.groupby(id_col).aggregate(Count(alias_name="n"))
-               .to_arrow_refs())
-    sizes_tbl = pa.concat_tables([ray.get(r) for r in sizes_t])
-    size_ids = np.asarray(sizes_tbl[id_col].to_numpy(zero_copy_only=False),
-                          dtype=np.int64)
-    size_ns = np.asarray(sizes_tbl["n"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-    order = np.argsort(size_ids, kind="stable")
-    sizes_ref = ray.put((size_ids[order], size_ns[order]))
+    # per-doc distinct-gram counts: one int64 row per doc — a DATASET,
+    # joined onto the pair counts by hash shuffle below (a driver
+    # collect + broadcast would be O(N)·8B driver memory at 10^12 docs)
+    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n"))
 
     # Coarse-bucket the grams (gram_hash % n_buckets) so the groupby
     # runs the Python hook ~n_buckets times, NOT once per distinct gram
@@ -282,13 +292,22 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
                    .groupby(["d1", "d2"])
                    .aggregate(Count(alias_name="shared")))
 
+    # finalize |∩|/|∪| with two hash joins against the sizes Dataset —
+    # shuffles O(pairs + docs) rows once, concentrates nothing
+    np_join = join_partitions()
+    joined = pair_counts.join(
+        sizes.rename_columns({id_col: "d1", "n": "_n1"}),
+        "inner", num_partitions=np_join, on=("d1",))
+    joined = joined.join(
+        sizes.rename_columns({id_col: "d2", "n": "_n2"}),
+        "inner", num_partitions=np_join, on=("d2",))
+
     def finalize(b: pa.Table) -> pa.Table:
-        ids_sorted, ns_sorted = ray.get(sizes_ref)
         d1 = np.asarray(b["d1"].to_numpy(zero_copy_only=False), dtype=np.int64)
         d2 = np.asarray(b["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
         c = np.asarray(b["shared"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        n1 = ns_sorted[np.searchsorted(ids_sorted, d1)]
-        n2 = ns_sorted[np.searchsorted(ids_sorted, d2)]
+        n1 = np.asarray(b["_n1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n2 = np.asarray(b["_n2"].to_numpy(zero_copy_only=False), dtype=np.int64)
         j = c * 1.0 / (n1 + n2 - c)
         keep = j >= threshold
         return pa.table({
@@ -297,7 +316,7 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
             "jaccard": pa.array(j[keep], pa.float64()),
         })
 
-    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -457,24 +476,48 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             .groupby(["d1", "d2"])
             .aggregate(Count(alias_name="_dup")))  # distinct pairs
 
-    # verify: broadcast signatures (num_perm ints per doc) for agreement
-    sig_tbl = pa.concat_tables([ray.get(r) for r in sigs.to_arrow_refs()])
-    sid = np.asarray(sig_tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    smat = np.asarray(sig_tbl["signature"].combine_chunks().flatten()
-                      .to_numpy(zero_copy_only=False)).reshape(len(sid), num_perm)
-    order = np.argsort(sid, kind="stable")
-    sig_ref = ray.put((sid[order], smat[order]))
+    # verify by signature agreement: hash-join the candidate pairs
+    # against the signatures Dataset on each side. The signatures move
+    # through a shuffle ONCE per side (~1 KB/doc of shuffle traffic) —
+    # broadcasting the full signature matrix via the driver would be
+    # petabytes of per-node memory at 10^12 docs. Acero (the join
+    # kernel) can't carry list-typed payloads, so the signature rides as
+    # a packed binary blob.
+    def sig_to_bin(b: pa.Table, name: str, key_name: str) -> pa.Table:
+        n = b.num_rows
+        mat = np.ascontiguousarray(np.asarray(
+            b["signature"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)).reshape(n, num_perm))
+        width = num_perm * 8
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * width,
+                           pa.int32())
+        blob = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, offsets.buffers()[1], pa.py_buffer(mat.tobytes())])
+        return pa.table({key_name: b[id_col], name: blob})
+
+    np_join = join_partitions()
+    joined = cand.join(
+        sigs.map_batches(lambda b: sig_to_bin(b, "_sig1", "d1"),
+                         batch_format="pyarrow"),
+        "inner", num_partitions=np_join, on=("d1",))
+    joined = joined.join(
+        sigs.map_batches(lambda b: sig_to_bin(b, "_sig2", "d2"),
+                         batch_format="pyarrow"),
+        "inner", num_partitions=np_join, on=("d2",))
 
     def verify(b: pa.Table) -> pa.Table:
-        ids_sorted, mat = ray.get(sig_ref)
-        d1 = np.asarray(b["d1"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        d2 = np.asarray(b["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        if len(d1) == 0:
+        n = b.num_rows
+        if n == 0:
             return pa.table({"d1": pa.array([], pa.int64()),
                              "d2": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
-        s1 = mat[np.searchsorted(ids_sorted, d1)]
-        s2 = mat[np.searchsorted(ids_sorted, d2)]
+        d1 = np.asarray(b["d1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d2 = np.asarray(b["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        s1 = np.stack([np.frombuffer(x, dtype=np.int64)
+                       for x in b["_sig1"].to_pylist()])
+        s2 = np.stack([np.frombuffer(x, dtype=np.int64)
+                       for x in b["_sig2"].to_pylist()])
         est = (s1 == s2).mean(axis=1)
         keep = est >= threshold
         return pa.table({
@@ -483,7 +526,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             "est_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

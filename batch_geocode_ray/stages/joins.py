@@ -142,6 +142,35 @@ def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
+                   right_key: str | None = None, anti: bool = False,
+                   num_partitions: int | None = None) -> Dataset:
+    """Distributed semi (keep matching) / anti (keep non-matching) join
+    of ``ds`` against a KEY DATASET — the scale-safe form of
+    :func:`broadcast_semi_anti` for keep-sets that are themselves
+    dataset-sized (e.g. dedup survivor ids over 10^12 docs).
+
+    Adaptive plan (size-probed, same knob as dedup's small-collapse):
+    a small materialized key set broadcasts — the big side never
+    shuffles; a large one runs Ray Data's native hash-shuffle
+    ``left_semi`` / ``left_anti`` join, so the keep-set never
+    concentrates on the driver or any single node.
+    """
+    from batch_geocode_ray.stages import dedup as _dd  # single knob
+
+    right_key = right_key or key
+    keys_m = keys_ds.select_columns([right_key]).materialize()
+    if (keys_m.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES:
+        tbl = pa.concat_tables(ray.get(r) for r in keys_m.to_arrow_refs())
+        return broadcast_semi_anti(ds, tbl[right_key].combine_chunks(),
+                                   key, anti=anti)
+    if num_partitions is None:
+        num_partitions = _dd.join_partitions()
+    return ds.join(keys_m, "left_anti" if anti else "left_semi",
+                   num_partitions=num_partitions,
+                   on=(key,), right_on=(right_key,))
+
+
 def broadcast_asof(ds: Dataset, small: pa.Table, key: str, ts_col: str,
                    small_key: str, small_ts: str,
                    value_cols: list[str],

@@ -114,44 +114,157 @@ def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
             .map_groups(final_topk, batch_format="pyarrow"))
 
 
+def _pair_table(d1, d2, cos) -> pa.Table:
+    return pa.table({
+        "d1": pa.array(d1, pa.int64()),
+        "d2": pa.array(d2, pa.int64()),
+        "cosine": pa.array(cos, pa.float64()),
+    })
+
+
+def _upper_pairs(ids_a, m_a, ids_b, m_b, threshold) -> pa.Table:
+    """Above-threshold (a < b) cosine pairs between two id/vector sets
+    (inputs pre-normalized)."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return _pair_table([], [], [])
+    sims = m_a @ m_b.T
+    keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+    r, c = np.nonzero(keep)
+    return _pair_table(ids_a[r], ids_b[c], sims[r, c])
+
+
+@ray.remote
+def _block_pair_sims(t1: pa.Table, t2: pa.Table | None, vec_col: str,
+                     id_col: str, threshold: float) -> pa.Table:
+    """One exact block-vs-block similarity tile (t2 None = t1 vs t1)."""
+    ids1 = np.asarray(t1[id_col].to_numpy(zero_copy_only=False), np.int64)
+    m1 = _normalize(_matrix_of(t1, vec_col))
+    if t2 is None:
+        return _upper_pairs(ids1, m1, ids1, m1, threshold)
+    ids2 = np.asarray(t2[id_col].to_numpy(zero_copy_only=False), np.int64)
+    m2 = _normalize(_matrix_of(t2, vec_col))
+    return _upper_pairs(ids1, m1, ids2, m2, threshold)
+
+
 def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
-                         threshold: float = 0.4) -> Dataset:
+                         threshold: float = 0.4,
+                         method: str = "exact",
+                         bands: int = 16, rows: int = 8,
+                         seed: int = 23) -> Dataset:
     """All (a < b) vector pairs with cosine >= threshold.
+    Output: (d1, d2, cosine).
 
-    The full normalized matrix is broadcast once (fine up to ~10^6x
-    small-d vectors ~ GBs); each batch multiplies against it and emits
-    its above-threshold pairs — a blocked exact similarity join with no
-    shuffle of the big side. For larger corpora switch to LSH
-    bucketing (random hyperplanes) and verify within buckets.
-    Output: (d1, d2, cosine) sorted by (d1, d2).
+    Physical plans (nothing O(N) ever concentrates on the driver):
+      * small input (the (id, vec) projection measures under the dedup
+        small-collapse threshold) -> the whole exact join runs in ONE
+        task.
+      * ``method="exact"`` at scale -> block-pair tiling: the dataset's
+        blocks stay in the object store; one Ray task per block pair
+        (i <= j) fetches exactly two blocks and emits its
+        above-threshold pairs. Exact at ANY threshold; the quadratic
+        compute is inherent to an exact similarity join (raw tasks used
+        because a triangular self-join has no Dataset-API shape).
+      * ``method="lsh"`` -> random-hyperplane LSH: sign bits of
+        ``bands*rows`` fixed projections, banded into ``bands`` bucket
+        keys; within-bucket exact cosine verify, then a pair-distinct
+        groupby. Linear shuffle, no false positives; recall follows the
+        banding S-curve — right for true near-dup thresholds (>= ~0.7;
+        at 0.4 the hyperplane collision rate barely prunes, use exact).
     """
-    all_tbl = pa.concat_tables([ray.get(r) for r in
-                                ds.select_columns([id_col, vec_col])
-                                .to_arrow_refs()])
-    all_ids = np.asarray(all_tbl[id_col].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-    all_m = _normalize(_matrix_of(all_tbl, vec_col))
-    ref = ray.put((all_ids, all_m))
+    from batch_geocode_ray.stages import dedup as _dd  # shared knob
 
-    def emit(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
-        m = _normalize(_matrix_of(batch, vec_col))
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        if len(ids) == 0:
-            return pa.table({"d1": pa.array([], pa.int64()),
-                             "d2": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        sims = m @ m_all.T
-        keep = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
-        r, c = np.nonzero(keep)
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    small = (proj.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES
+
+    if small and method != "lsh":
+        def one(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             np.int64)
+            m = _normalize(_matrix_of(b, vec_col))
+            out = _upper_pairs(ids, m, ids, m, threshold)
+            return out.sort_by([("d1", "ascending"), ("d2", "ascending")])
+
+        return proj.repartition(1).map_batches(
+            one, batch_format="pyarrow", batch_size=None)
+
+    if method == "exact":
+        refs = proj.to_arrow_refs()  # O(blocks) refs; data stays put
+        tiles = []
+        for i in range(len(refs)):
+            tiles.append(_block_pair_sims.remote(
+                refs[i], None, vec_col, id_col, threshold))
+            for j in range(i + 1, len(refs)):
+                tiles.append(_block_pair_sims.remote(
+                    refs[i], refs[j], vec_col, id_col, threshold))
+        import ray.data as rd
+        return rd.from_arrow_refs(tiles)
+
+    # ---- LSH plan ----
+    n_planes = bands * rows
+    first = proj.take_batch(1, batch_format="pyarrow")
+    dim = _matrix_of(first, vec_col).shape[1]
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    planes_ref = ray.put(planes)
+    n_buckets = 1024
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        from batch_geocode_ray.functions.hashing import splitmix64
+        pl = ray.get(planes_ref)
+        m = _normalize(_matrix_of(b, vec_col))
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: b[vec_col]})
+        bits = (m @ pl.T) >= 0.0                      # (n, planes)
+        weights = (np.uint64(1) << np.arange(rows, dtype=np.uint64))
+        keys = []
+        bnds = []
+        for band in range(bands):
+            block = bits[:, band * rows:(band + 1) * rows].astype(np.uint64)
+            keys.append(block @ weights)
+            bnds.append(np.full(n, band, dtype=np.int64))
+        combined = (np.concatenate(keys).astype(np.uint64)
+                    ^ splitmix64(np.concatenate(bnds)))
+        vec = b[vec_col].combine_chunks()
+        idx = pa.array(np.tile(np.arange(n), bands), pa.int64())
         return pa.table({
-            "d1": pa.array(ids[r], pa.int64()),
-            "d2": pa.array(ids_all[c], pa.int64()),
-            "cosine": pa.array(sims[r, c], pa.float64()),
+            "bkey": pa.array(combined.astype(np.int64), pa.int64()),
+            "_bucket": pa.array(
+                (combined % np.uint64(n_buckets)).astype(np.int64)),
+            id_col: pa.array(np.tile(ids, bands), pa.int64()),
+            vec_col: vec.take(idx),
         })
 
-    return ds.map_batches(emit, batch_format="pyarrow")
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        bk = np.asarray(group["bkey"].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False), np.int64)
+        m = _normalize(_matrix_of(group, vec_col))
+        order = np.lexsort((ids, bk))
+        bk, ids, m = bk[order], ids[order], m[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(bk))[0] + 1, [len(bk)]])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            seg_ids, first_idx = np.unique(ids[s:e], return_index=True)
+            if len(seg_ids) < 2:
+                continue
+            seg_m = m[s:e][first_idx]
+            outs.append(_upper_pairs(seg_ids, seg_m, seg_ids, seg_m, threshold))
+        if not outs:
+            return _pair_table([], [], [])
+        return pa.concat_tables(outs)
+
+    pairs = (proj.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(verify_bucket, batch_format="pyarrow"))
+    # same pair can surface from several bands -> distinct via groupby
+    from ray.data.aggregate import Max
+    return pairs.groupby(["d1", "d2"]).aggregate(
+        Max("cosine", alias_name="cosine"))
 
 
 def kmeans_fit(ds: Dataset, vec_col: str, k: int = 8, iters: int = 10,

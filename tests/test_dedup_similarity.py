@@ -176,6 +176,59 @@ def test_cosine_neardup_pairs():
     assert {(r["d1"], r["d2"]) for r in pairs} == {(0, 1)}
 
 
+def test_cosine_neardup_block_pair_plan_matches_one_task(monkeypatch):
+    """Forcing the at-scale exact plan (block-pair tiling over object
+    store refs, no driver materialization) must give identical pairs."""
+    import batch_geocode_ray.stages.dedup as dd
+
+    ds, _ = embeddings_ds()
+    want = sorted((r["d1"], r["d2"], round(r["cosine"], 12))
+                  for r in cosine_neardup_pairs(
+                      ds, "embedding", "vec_id", threshold=0.3).take_all())
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    got = sorted((r["d1"], r["d2"], round(r["cosine"], 12))
+                 for r in cosine_neardup_pairs(
+                     ds, "embedding", "vec_id", threshold=0.3).take_all())
+    assert got == want and len(want) > 0
+
+
+def test_cosine_neardup_lsh_recalls_neardups():
+    """Hyperplane-LSH plan at a true near-dup threshold: every exact
+    pair recalled (banding S-curve ~1 at cos>=0.9), no false positives,
+    same cosines."""
+    ds, _ = embeddings_ds()
+    exact = sorted((r["d1"], r["d2"], round(r["cosine"], 12))
+                   for r in cosine_neardup_pairs(
+                       ds, "embedding", "vec_id", threshold=0.9).take_all())
+    lsh = sorted((r["d1"], r["d2"], round(r["cosine"], 12))
+                 for r in cosine_neardup_pairs(
+                     ds, "embedding", "vec_id", threshold=0.9,
+                     method="lsh").take_all())
+    assert lsh == exact and len(exact) >= 1
+
+
+def test_semi_anti_join_both_plans(monkeypatch):
+    from batch_geocode_ray.stages.joins import semi_anti_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+    })).repartition(3)
+    keys = rd.from_arrow(pa.table({"kk": pa.array([2, 4, 4, 6], pa.int64())}))
+
+    def run():
+        semi = sorted(r["k"] for r in semi_anti_join(
+            big, keys, "k", right_key="kk").take_all())
+        anti = sorted(r["k"] for r in semi_anti_join(
+            big, keys, "k", right_key="kk", anti=True).take_all())
+        return semi, anti
+
+    assert run() == ([2, 4, 6], [1, 3, 5])
+    import batch_geocode_ray.stages.dedup as dd
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)  # force shuffle join
+    assert run() == ([2, 4, 6], [1, 3, 5])
+
+
 def test_multimodal_stub_plumbing():
     from batch_geocode_ray.pipelines.queries import q24_image_features, q25_audio_frames
 
