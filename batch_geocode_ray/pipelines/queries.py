@@ -598,8 +598,20 @@ ORDER BY d1, d2
 # ---------------------------------------------------------------------------
 
 def q18_minhash_neardup(sf_dir: str) -> Dataset:
+    """MinHash+LSH near-dup with EXACT trigram verification: banding
+    prunes candidates, verification recomputes the true k-gram Jaccard
+    of each candidate — so the output equals the exact similarity
+    join's whenever banding recall holds (32 bands x 4 rows: P(miss a
+    J=0.8 pair) = (1-0.8^4)^32 ≈ 4e-9, deterministic seeds). That
+    makes the LSH path fully SQL-oracle-gated (same oracle as q15, a
+    different physical plan — like q26 vs q03)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8,
+                            verify="trigram")
+    return _sort_single(out, ["d1", "d2"])
+
+
+SQL_Q18 = SQL_Q15
 
 
 def q19_simhash_neardup(sf_dir: str) -> Dataset:
@@ -1064,38 +1076,101 @@ def q36_domain_stats(sf_dir: str) -> Dataset:
         merge="single", sort_keys=["domain"])
 
 
+def _distinct_count_exact(ds: Dataset, col: str) -> int:
+    """Distributed exact COUNT(DISTINCT col): per-batch unique-hash
+    partials (only 8-byte hashes shuffle), groupby(hash), count rows.
+    The driver receives one integer."""
+    from batch_geocode_ray.functions.hashing import stable_hash64_array
+    from ray.data.aggregate import Count as _Count
+
+    def to_h(b: pa.Table) -> pa.Table:
+        col_a = b[col].combine_chunks() if isinstance(
+            b[col], pa.ChunkedArray) else b[col]
+        if pa.types.is_integer(col_a.type):
+            h = np.unique(np.asarray(col_a.to_numpy(zero_copy_only=False),
+                                     dtype=np.int64))
+        else:
+            h = np.unique(stable_hash64_array(col_a).astype(np.int64))
+        return pa.table({"_h": pa.array(h, pa.int64())})
+
+    return (ds.map_batches(to_h, batch_format="pyarrow")
+            .groupby("_h").aggregate(_Count(alias_name="_c")).count())
+
+
 def q37_distinct_urls_hll(sf_dir: str) -> Dataset:
-    """Approximate COUNT(DISTINCT) via mergeable HyperLogLog partials —
-    the 4KB-summary answer to distinct-url counting at 10^12 rows.
-    Deterministic (stable hash) but approximate: rows-only check."""
+    """HyperLogLog COUNT(DISTINCT), tolerance-gated against the exact
+    distributed distinct count: the query emits the EXACT count (SQL-
+    computable) plus a boolean asserting the HLL estimate (p=12,
+    σ≈1.6%) lands within 5% — so the driver hash gate verifies both
+    the exact pipeline and the sketch's accuracy in one query."""
     import ray.data as rd_
 
     from batch_geocode_ray.functions.sketches import hll_count_distinct
 
     docs = _read(sf_dir, "documents", ["text"])
-    est_docs = hll_count_distinct(docs, "text")
     ev = _read(sf_dir, "events", ["user_id"])
-    est_users = hll_count_distinct(ev, "user_id")
+    rows = []
+    for metric, dset, col in (("distinct_texts", docs, "text"),
+                              ("distinct_users", ev, "user_id")):
+        exact = _distinct_count_exact(dset, col)
+        est = hll_count_distinct(dset, col)
+        ok = exact > 0 and abs(est - exact) / exact <= 0.05
+        rows.append((metric, exact, ok))
     return rd_.from_arrow(pa.table({
-        "metric": pa.array(["distinct_texts_hll", "distinct_users_hll"]),
-        "estimate": pa.array([round(est_docs), round(est_users)], pa.int64()),
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "exact_distinct": pa.array([r[1] for r in rows], pa.int64()),
+        "hll_ok": pa.array([r[2] for r in rows], pa.bool_()),
     }))
+
+
+SQL_Q37 = """
+SELECT * FROM (
+  SELECT 'distinct_texts' AS metric, count(DISTINCT text) AS exact_distinct,
+         true AS hll_ok
+  FROM documents
+  UNION ALL
+  SELECT 'distinct_users', count(DISTINCT user_id), true FROM events
+) ORDER BY metric
+"""
 
 
 def q38_heavy_hitters(sf_dir: str) -> Dataset:
-    """Misra-Gries heavy hitters over event users (mergeable k-counter
-    summaries; freq > n/k guaranteed caught). Approximate lower-bound
-    counts: rows-only check."""
-    import ray.data as rd_
-
+    """Misra-Gries heavy hitters with exact recount: MG guarantees
+    every item with frequency > n/k survives the mergeable summaries,
+    so recounting ONLY the <=k candidates exactly (a tiny broadcast
+    filter + grouped count) and keeping those above n/k reproduces the
+    SQL GROUP BY ... HAVING count > n/k answer exactly — the
+    sketch prunes 10^12 rows to k candidates, the recount restores
+    exactness."""
     from batch_geocode_ray.functions.sketches import heavy_hitters
+    from batch_geocode_ray.stages.joins import broadcast_semi_anti
 
-    ev = _read(sf_dir, "events", ["user_id"])
-    hh = heavy_hitters(ev, "user_id", k=16)
-    return rd_.from_arrow(pa.table({
-        "user_id": pa.array([int(u) for u, _ in hh], pa.int64()),
-        "count_lower_bound": pa.array([c for _, c in hh], pa.int64()),
-    }))
+    k = 16
+    ev = _read(sf_dir, "events", ["event_type"])
+    n_total = ev.count()
+    cand = [item for item, _ in heavy_hitters(ev, "event_type", k=k)]
+    filtered = broadcast_semi_anti(ev, pa.array(cand, pa.string()),
+                                   "event_type")
+    agg = grouped_aggregate(
+        filtered, ["event_type"],
+        [("event_type", "count", "n_events")], merge="single")
+    thresh = n_total / k
+
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_events"], pa.scalar(thresh)))
+        return b.sort_by([("n_events", "descending"),
+                          ("event_type", "ascending")])
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
+SQL_Q38 = """
+SELECT event_type, count(event_type) AS n_events
+FROM events GROUP BY event_type
+HAVING count(event_type) > (SELECT count(*) FROM events) / 16.0
+ORDER BY n_events DESC, event_type
+"""
 
 
 def q39_hopping_windows(sf_dir: str) -> Dataset:
@@ -1145,6 +1220,158 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q41_url_canonical(sf_dir: str) -> Dataset:
+    """URL canonicalization / host / registered-domain kernels under a
+    full SQL oracle: both engines synthesize the SAME deliberately
+    messy url per document (uppercase scheme+host, default port,
+    tracking params, fragment, trailing slash — varied by doc_id % 3)
+    and must agree on the canonical form, host, and domain. DuckDB's
+    regexp functions are RE2 like Arrow's, so the kernel regexes run
+    verbatim on both sides."""
+    from batch_geocode_ray.functions.urls import (
+        canonicalize_urls,
+        host_of,
+        registered_domain_of,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        did = pc.cast(b["doc_id"], pa.string())
+        variant = pc.cast(pc.subtract(
+            b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 3), 3)),
+            pa.int64())
+        up = pc.utf8_upper(b["source"])
+        u0 = pc.binary_join_element_wise(
+            pa.array(["HTTP://WWW."] * n), up,
+            pa.array([".Example.COM:80/Docs/"] * n), did,
+            pa.array(["?utm_source=feed&ref=abc&id="] * n), did,
+            pa.array(["#frag"] * n), "")
+        u1 = pc.binary_join_element_wise(
+            pa.array(["https://api."] * n), b["source"],
+            pa.array([".example.com:443/Docs/"] * n), did,
+            pa.array(["/"] * n), "")
+        u2 = pc.binary_join_element_wise(
+            pa.array(["http://"] * n), b["source"],
+            pa.array([".example.com/?gclid=xyz"] * n), "")
+        url = pc.if_else(pc.equal(variant, 0), u0,
+                         pc.if_else(pc.equal(variant, 1), u1, u2))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "canon_url": canonicalize_urls(url),
+            "host": host_of(url),
+            "domain": registered_domain_of(url),
+        })
+
+    return _sort_single(docs.map_batches(f, batch_format="pyarrow"),
+                        ["doc_id"])
+
+
+# the same regex ladder as functions/urls.py, spelled in DuckDB (RE2;
+# 'g' = replace-all to match Arrow's replace_substring_regex)
+SQL_Q41 = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'HTTP://WWW.' || upper(source) ||
+                       '.Example.COM:80/Docs/' || doc_id ||
+                       '?utm_source=feed&ref=abc&id=' || doc_id || '#frag'
+           WHEN 1 THEN 'https://api.' || source ||
+                       '.example.com:443/Docs/' || doc_id || '/'
+           ELSE 'http://' || source || '.example.com/?gclid=xyz'
+         END AS url
+  FROM documents
+), c1 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+           || substr(url, length(regexp_extract(
+                url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1) AS c
+  FROM u
+), c2 AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(c,
+      '^(http://[^/?#:]*):80($|[/?#].*)', '\1\2'),
+      '^(https://[^/?#:]*):443($|[/?#].*)', '\1\2') AS c
+  FROM c1
+), c3 AS (
+  SELECT doc_id, url, regexp_replace(c, '#.*$', '') AS c FROM c2
+), c4 AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(regexp_replace(c,
+      '([?&])(?:utm_source|utm_medium|utm_campaign|utm_term|utm_content|gclid|fbclid|ref)=[^&#]*&?',
+      '\1', 'g'),
+      '[?&]$', ''),
+      '\?&', '?', 'g') AS c
+  FROM c3
+), c5 AS (
+  SELECT doc_id, url,
+    regexp_replace(c, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/.*[^/])/$', '\1')
+      AS canon_url
+  FROM c4
+)
+SELECT doc_id, canon_url,
+  lower(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+  regexp_extract(lower(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+    '([^.]+\.[^.]+)$', 1) AS domain
+FROM c5 ORDER BY doc_id
+"""
+
+
+def q42_signup_followup_counts(sf_dir: str) -> Dataset:
+    """Keyed RANGE (interval) join — a join type Ray Data lacks: for
+    every signup event, count the same user's events inside the
+    following 2-hour window (``s.ts <= ts < s.ts + 2h``, the signup
+    itself included). The signup intervals broadcast once; every event
+    batch emits per-interval PARTIAL counts, so the shuffle carries one
+    row per (interval, block), never per event."""
+    from batch_geocode_ray.stages.joins import broadcast_range_count
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    signups = pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    signups = signups.filter(pc.equal(signups["event_type"], "signup"))
+    return broadcast_range_count(
+        ev, signups, "user_id", "ts", "user_id", "ts",
+        "event_id", window_us=2 * 3600 * 1_000_000,
+        count_name="n_follow")
+
+
+SQL_Q42 = """
+SELECT s.event_id, count(*) AS n_follow
+FROM events s JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id ORDER BY s.event_id
+"""
+
+
+def q43_user_moving_avg(sf_dir: str) -> Dataset:
+    """Per-user ROWS-window moving average (7 preceding rows inclusive,
+    ordered by ts then event_id) — the windowed aggregate over a
+    coarse-bucketed shuffle (stages/windows.grouped_moving_avg)."""
+    from batch_geocode_ray.stages.windows import grouped_moving_avg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = grouped_moving_avg(ev, "user_id", "ts", "event_id", "value",
+                             window_rows=7)
+    return _sort_single(_round_cols(out, {"mov_avg": 4}), ["event_id"])
+
+
+SQL_Q43 = f"""
+SELECT event_id,
+       {_sql_fixed('''avg(value) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)''')}
+         AS mov_avg
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1190,6 +1417,9 @@ QUERIES = {
     "q38_heavy_hitters": q38_heavy_hitters,
     "q39_hopping_windows": q39_hopping_windows,
     "q40_price_quantiles": q40_price_quantiles,
+    "q41_url_canonical": q41_url_canonical,
+    "q42_signup_followup_counts": q42_signup_followup_counts,
+    "q43_user_moving_avg": q43_user_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -1210,6 +1440,7 @@ ORACLE_SQL = {
     "q15_ngram_dup_pairs": SQL_Q15,
     "q16_embed_knn": SQL_Q16,
     "q17_embed_neardup": SQL_Q17,
+    "q18_minhash_neardup": SQL_Q18,
     "q26_hashjoin_revenue": SQL_Q26,
     "q27_event_sessions": SQL_Q27,
     "q28_top_orders_per_segment": SQL_Q28,
@@ -1219,7 +1450,29 @@ ORACLE_SQL = {
     "q32_rasterize_events": SQL_Q32,
     "q33_events_last_order": SQL_Q33,
     "q34_corpus_curation": SQL_Q34,
+    "q37_distinct_urls_hll": SQL_Q37,
+    "q38_heavy_hitters": SQL_Q38,
     "q39_hopping_windows": SQL_Q39,
     "q40_price_quantiles": SQL_Q40,
-    # q18+ are sketch/approximate/fixture-input ops: no SQL oracle by design
+    "q41_url_canonical": SQL_Q41,
+    "q42_signup_followup_counts": SQL_Q42,
+    "q43_user_moving_avg": SQL_Q43,
+    # Deliberately rows-only (each justified):
+    #   q19 simhash — hamming distances of a custom 64-bit hash are not
+    #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
+    #       pinned in tests/test_dedup_similarity.py instead.
+    #   q20 fingerprint — winnowing min-hash not SQL-expressible; exact
+    #       grouping pinned vs a naive oracle in pytest.
+    #   q21 IVF ANN — approximate by design; recall@k >= 0.9 vs the
+    #       exact q16 pinned in pytest (test_ivf_recall_pin).
+    #   q22/q23 flagship geocode/tiles — fixture page input (not a
+    #       driver-registered view); full pipeline parity is pinned
+    #       against the single-process oracle in tests/oracle.py.
+    #   q24/q25 multimodal — decode is an honest stub (no codec libs in
+    #       the sandbox); plumbing is deterministic and pytest-pinned.
+    #   q35 k-means — iterative/fixpoint, not SQL-expressible;
+    #       determinism + quality pinned in tests/test_kmeans.py.
+    #   q36 domain stats — fixture page input + deterministic-sample
+    #       hash (splitmix64) not SQL-expressible; the URL kernels are
+    #       oracle-gated via q41 instead.
 }

@@ -328,10 +328,11 @@ class MinHashSignatures:
     Permutation params are built once per actor (deterministic seed)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
-                 k: int = 3, seed: int = 7):
+                 k: int = 3, seed: int = 7, include_text: bool = False):
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        self.include_text = include_text
         self.a, self.b = minhash_permutation_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -348,34 +349,79 @@ class MinHashSignatures:
         for i in range(batch.num_rows):
             sh = shingle_hashes(hashes[offsets[i]:offsets[i + 1]], self.k)
             sigs[i] = minhash_signature(sh, self.a, self.b)
-        return pa.table({
+        cols = {
             self.id_col: batch[self.id_col],
             "signature": pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.astype(np.int64).ravel(), pa.int64()),
                 len(self.a)),
-        })
+        }
+        if self.include_text:
+            cols[self.text_col] = batch[self.text_col]
+        return pa.table(cols)
+
+
+def _gram_arrays(text_col, k: int) -> list[np.ndarray]:
+    """Per-row array of DISTINCT k-token-gram rolling hashes (the same
+    hashes the inverted-index join shuffles), for exact Jaccard
+    verification of candidate pairs."""
+    col = (text_col.combine_chunks()
+           if isinstance(text_col, pa.ChunkedArray) else text_col)
+    n = len(col)
+    toks = tokens_column(col)
+    flat = toks.flatten()
+    parents = np.asarray(toks.value_parent_indices())
+    nonempty = np.asarray(pc.utf8_length(flat)) > 0
+    hashes = stable_hash64_array(flat.filter(pa.array(nonempty)))
+    parents = parents[nonempty]
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, parents, 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return [shingle_hashes(hashes[offsets[i]:offsets[i + 1]], k)
+            if counts[i] >= k else np.empty(0, dtype=np.uint64)
+            for i in range(n)]
+
+
+def _pair_jaccard(g1: np.ndarray, g2: np.ndarray) -> float:
+    inter = np.intersect1d(g1, g2).size
+    union = len(np.unique(g1)) + len(np.unique(g2)) - inter
+    return inter / union if union else 0.0
 
 
 def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                       num_perm: int = 128, bands: int = 32, k: int = 3,
                       threshold: float = 0.8,
-                      verify_exact: bool = True) -> Dataset:
+                      verify: str = "signature") -> Dataset:
     """Near-dup pairs via banded MinHash LSH.
 
     signatures -> per-band bucket keys -> groupby(bucket) -> candidate
-    pairs -> distinct -> verify: estimated Jaccard (signature agreement)
-    must clear ``threshold``. With ``verify_exact`` the estimate is the
-    signature-agreement fraction (128 perms ≈ ±0.04); candidates below
-    threshold are dropped, so precision is high while recall follows the
-    LSH S-curve. Output: (d1, d2, est_jaccard) sorted by (d1, d2).
+    pairs -> distinct -> verify. Recall follows the LSH S-curve in both
+    modes (at J=0.9 with 32x4 banding, P(miss) < 1e-30 — effectively
+    exact); the verify mode sets precision semantics:
+
+      * ``verify="signature"`` — estimated Jaccard as the
+        signature-agreement fraction (128 perms ≈ ±0.04); output
+        (d1, d2, est_jaccard).
+      * ``verify="trigram"`` — EXACT k-token-gram Jaccard of each
+        candidate (the same gram hashes the inverted-index join uses),
+        so the surviving pairs equal the exact similarity join's output
+        whenever banding recall holds. Output (d1, d2, jaccard) —
+        SQL-oracle-comparable against the exact join.
     """
     rows_per_band = num_perm // bands
+    with_text = verify == "trigram"
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "k": k},
+                               "num_perm": num_perm, "k": k,
+                               "include_text": with_text},
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5).materialize()
-    # materialized: consumed twice (banding + verification broadcast)
+    # materialized: consumed twice (banding + verification join)
+    est_name = "jaccard" if with_text else "est_jaccard"
+
+    def _empty() -> pa.Table:
+        return pa.table({"d1": pa.array([], pa.int64()),
+                         "d2": pa.array([], pa.int64()),
+                         est_name: pa.array([], pa.float64())})
 
     if (sigs.size_bytes() or 0) < SMALL_COLLAPSE_BYTES:
         def lsh_one(b: pa.Table) -> pa.Table:
@@ -402,20 +448,24 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                         a_, b_ = np.triu_indices(len(seg), k=1)
                         pair_set.update(zip(seg[a_].tolist(), seg[b_].tolist()))
             if not pair_set:
-                return pa.table({"d1": pa.array([], pa.int64()),
-                                 "d2": pa.array([], pa.int64()),
-                                 "est_jaccard": pa.array([], pa.float64())})
+                return _empty()
             pairs = np.array(sorted(pair_set), dtype=np.int64)
             id_order = np.argsort(ids, kind="stable")
             pos = np.searchsorted(ids[id_order], pairs)
-            s1 = sig[id_order][pos[:, 0]]
-            s2 = sig[id_order][pos[:, 1]]
-            est = (s1 == s2).mean(axis=1)
-            keep = est >= threshold
+            if with_text:
+                grams = _gram_arrays(b[text_col], k)
+                row_of = id_order[pos]
+                vals = np.array([_pair_jaccard(grams[r1], grams[r2])
+                                 for r1, r2 in row_of], dtype=np.float64)
+            else:
+                s1 = sig[id_order][pos[:, 0]]
+                s2 = sig[id_order][pos[:, 1]]
+                vals = (s1 == s2).mean(axis=1)
+            keep = vals >= threshold
             return pa.table({
                 "d1": pa.array(pairs[keep, 0], pa.int64()),
                 "d2": pa.array(pairs[keep, 1], pa.int64()),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
+                est_name: pa.array(vals[keep], pa.float64()),
             })
 
         return _one_task(sigs, lsh_one)
@@ -475,6 +525,41 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             .map_groups(emit_pairs_bucket, batch_format="pyarrow")
             .groupby(["d1", "d2"])
             .aggregate(Count(alias_name="_dup")))  # distinct pairs
+
+    if with_text:
+        # exact-verify: hash-join each candidate side against the doc
+        # texts (strings ride the join fine), recompute the true
+        # k-gram Jaccard per pair — same distributed shape as the
+        # signature verify, exact output semantics.
+        np_join = join_partitions()
+        joined = cand.join(
+            sigs.map_batches(
+                lambda b: pa.table({"d1": b[id_col], "_t1": b[text_col]}),
+                batch_format="pyarrow"),
+            "inner", num_partitions=np_join, on=("d1",))
+        joined = joined.join(
+            sigs.map_batches(
+                lambda b: pa.table({"d2": b[id_col], "_t2": b[text_col]}),
+                batch_format="pyarrow"),
+            "inner", num_partitions=np_join, on=("d2",))
+
+        def verify_tri(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _empty()
+            g1 = _gram_arrays(b["_t1"], k)
+            g2 = _gram_arrays(b["_t2"], k)
+            vals = np.array([_pair_jaccard(a_, b_)
+                             for a_, b_ in zip(g1, g2)], dtype=np.float64)
+            keep = vals >= threshold
+            d1 = np.asarray(b["d1"].to_numpy(zero_copy_only=False), np.int64)
+            d2 = np.asarray(b["d2"].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table({
+                "d1": pa.array(d1[keep], pa.int64()),
+                "d2": pa.array(d2[keep], pa.int64()),
+                est_name: pa.array(vals[keep], pa.float64()),
+            })
+
+        return joined.map_batches(verify_tri, batch_format="pyarrow")
 
     # verify by signature agreement: hash-join the candidate pairs
     # against the signatures Dataset on each side. The signatures move

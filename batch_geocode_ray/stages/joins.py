@@ -246,6 +246,78 @@ def broadcast_asof(ds: Dataset, small: pa.Table, key: str, ts_col: str,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def broadcast_range_count(ds: Dataset, small: pa.Table, key: str,
+                          ts_col: str, small_key: str, small_ts: str,
+                          small_id: str, window_us: int,
+                          count_name: str = "n_events") -> Dataset:
+    """Keyed RANGE join, count-aggregated: for every small-side row,
+    count big-side rows with the same key and timestamp in
+    ``[small_ts, small_ts + window)`` — the interval-join shape Ray
+    Data lacks (e.g. "events within 7 days after each order").
+
+    The small side (sorted by key, ts) broadcasts once; each big batch
+    binary-searches its events into per-key interval ranges and emits
+    per-interval PARTIAL counts (one row per touched interval, not per
+    event) — so the shuffle to the final per-interval sum carries
+    O(intervals x blocks), never O(events). Only intervals with >= 1
+    match appear (inner-join semantics).
+    """
+    import numpy as np
+
+    sk = np.asarray(small[small_key].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    sts = np.asarray(small[small_ts].to_numpy(zero_copy_only=False))
+    sts_i = sts.astype("datetime64[us]").astype(np.int64) \
+        if sts.dtype.kind == "M" else sts.astype(np.int64)
+    sid = np.asarray(small[small_id].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((sts_i, sk))
+    sk, sts_i, sid = sk[order], sts_i[order], sid[order]
+    uniq_keys = np.unique(sk)
+    key_starts = np.searchsorted(sk, uniq_keys)
+    key_ends = np.searchsorted(sk, uniq_keys, side="right")
+    ref = ray.put((uniq_keys, key_starts, key_ends, sts_i, sid))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ukeys, kstart, kend, s_ts, s_id = ray.get(ref)
+        bk = np.asarray(batch[key].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        bts = np.asarray(batch[ts_col].to_numpy(zero_copy_only=False))
+        bts_i = bts.astype("datetime64[us]").astype(np.int64) \
+            if bts.dtype.kind == "M" else bts.astype(np.int64)
+        n = len(bk)
+        delta = np.zeros(len(s_id) + 1, dtype=np.int64)
+        row_order = np.lexsort((bts_i, bk))
+        bk_s = bk[row_order]
+        seg_bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(bk_s))[0] + 1, [n]]) if n else [0]
+        for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+            kpos = np.searchsorted(ukeys, bk_s[s])
+            if kpos >= len(ukeys) or ukeys[kpos] != bk_s[s]:
+                continue
+            i0, i1 = kstart[kpos], kend[kpos]
+            ev_ts = bts_i[row_order[s:e]]
+            # interval i matches event t iff s_ts[i] <= t < s_ts[i]+w
+            # <=> t - w < s_ts[i] <= t
+            lo = i0 + np.searchsorted(s_ts[i0:i1], ev_ts - window_us,
+                                      side="right")
+            hi = i0 + np.searchsorted(s_ts[i0:i1], ev_ts, side="right")
+            np.add.at(delta, lo, 1)
+            np.add.at(delta, hi, -1)
+        counts = np.cumsum(delta[:-1])
+        nz = counts > 0
+        return pa.table({
+            small_id: pa.array(s_id[nz], pa.int64()),
+            count_name: pa.array(counts[nz], pa.int64()),
+        })
+
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, [small_id],
+                             [(count_name, "sum", count_name)],
+                             merge="single", sort_keys=[small_id])
+
+
 def broadcast_join(ds: Dataset, small: pa.Table, key: str,
                    value_cols: list[str], how: str = "inner",
                    rename: dict[str, str] | None = None) -> Dataset:

@@ -88,6 +88,68 @@ def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
             .map_groups(sessions_in_bucket, batch_format="pyarrow"))
 
 
+def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
+                       order_col: str, value_col: str,
+                       window_rows: int = 7, n_buckets: int = 256,
+                       out_name: str = "mov_avg") -> Dataset:
+    """Per-key moving average over the ``window_rows`` preceding rows
+    (inclusive), ordered by (``ts_col``, ``order_col``) — the
+    ROWS-window aggregate Ray Data lacks (SQL: AVG(v) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW)).
+
+    Same partitioning shape as :func:`sessionize`: coarse-bucket keys
+    so the Python group hook runs ~n_buckets times, lexsort inside the
+    bucket, vectorized windowed sums via per-segment cumsum.
+    Output: (``order_col``, ``out_name``) — one row per input row.
+    """
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def avg_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        keys = np.asarray(g[key_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False))
+        ts_i = ts.astype("datetime64[us]").astype(np.int64) \
+            if ts.dtype.kind == "M" else ts.astype(np.int64)
+        oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        val = np.asarray(g[value_col].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        order = np.lexsort((oid, ts_i, keys))
+        keys, oid, val = keys[order], oid[order], val[order]
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+            new_seg[1:] = keys[1:] != keys[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0))
+        pos_in_seg = np.arange(n) - seg_start
+        # windowed sum by shifted adds, oldest term first (forward
+        # accumulation order — same association as a naive running
+        # window, keeping float drift vs the SQL oracle at ~7 ulp
+        # instead of the cumsum-difference trick's cancellation error)
+        acc = np.zeros(n, dtype=np.float64)
+        for off in range(window_rows - 1, -1, -1):
+            valid = pos_in_seg >= off
+            acc[valid] = acc[valid] + val[np.nonzero(valid)[0] - off]
+        cnt = np.minimum(pos_in_seg, window_rows - 1) + 1
+        avg = acc / cnt
+        return pa.table({
+            order_col: pa.array(oid, pa.int64()),
+            out_name: pa.array(avg, pa.float64()),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(avg_in_bucket, batch_format="pyarrow"))
+
+
 def hopping_window_rows(ds: Dataset, ts_col: str, value_cols: list[str],
                         size_minutes: int = 60,
                         hop_minutes: int = 15) -> Dataset:

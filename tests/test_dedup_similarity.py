@@ -229,6 +229,98 @@ def test_semi_anti_join_both_plans(monkeypatch):
     assert run() == ([2, 4, 6], [1, 3, 5])
 
 
+def test_ivf_recall_pin():
+    """The approximate IVF path may not silently degrade: recall@5
+    vs the exact knn_cosine must stay >= 0.9 on the fixture."""
+    from batch_geocode_ray.stages.similarity import ivf_knn
+
+    ds, m = embeddings_ds(n=200, d=8, seed=3)
+    q = m[:10]
+    qids = np.arange(10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_cosine(ds, "embedding", "vec_id", q, qids,
+                                 k=5).take_all()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_knn(ds, "embedding", "vec_id", q, qids,
+                               k=5).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@5 degraded to {recall:.3f}"
+
+
+def test_minhash_trigram_verify_equals_exact_join(docs_ds, monkeypatch):
+    """verify='trigram' must reproduce the exact n-gram join's pairs
+    AND jaccard values (recall 1.0 at these similarities), in both the
+    collapsed and the shuffle plan."""
+    import batch_geocode_ray.stages.dedup as dd
+
+    exact = sorted((r["d1"], r["d2"], r["jaccard"])
+                   for r in ngram_jaccard_pairs(
+                       docs_ds, "text", "doc_id", k=3,
+                       threshold=0.8).take_all())
+
+    def lsh():
+        return sorted((r["d1"], r["d2"], r["jaccard"])
+                      for r in minhash_lsh_pairs(
+                          docs_ds, "text", "doc_id", threshold=0.8,
+                          verify="trigram").take_all())
+
+    assert lsh() == exact
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert lsh() == exact
+
+
+def test_grouped_moving_avg_matches_pandas():
+    import pandas as pd
+
+    from batch_geocode_ray.stages.windows import grouped_moving_avg
+
+    rng = np.random.RandomState(9)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 12, n), pa.int64()),
+        "ts": pa.array(
+            np.datetime64("2024-01-01") +
+            rng.randint(0, 10**6, n).astype("timedelta64[s]")),
+        "value": pa.array(rng.uniform(0, 100, n)),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = {r["event_id"]: r["mov_avg"]
+           for r in grouped_moving_avg(ds, "user_id", "ts", "event_id",
+                                       "value", window_rows=7).take_all()}
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = df.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(7, min_periods=1).mean())
+    for eid, w in zip(df["event_id"], want):
+        assert abs(got[eid] - w) < 1e-9
+
+
+def test_broadcast_range_count_matches_naive():
+    from batch_geocode_ray.stages.joins import broadcast_range_count
+
+    rng = np.random.RandomState(4)
+    n_big, n_small = 400, 30
+    big = pa.table({
+        "k": pa.array(rng.randint(0, 5, n_big), pa.int64()),
+        "t": pa.array(rng.randint(0, 1000, n_big), pa.int64()),
+    })
+    small = pa.table({
+        "sid": pa.array(range(n_small), pa.int64()),
+        "k": pa.array(rng.randint(0, 6, n_small), pa.int64()),
+        "t": pa.array(rng.randint(0, 1000, n_small), pa.int64()),
+    })
+    w = 100
+    got = {r["sid"]: r["n"] for r in broadcast_range_count(
+        rd.from_arrow(big).repartition(3), small, "k", "t", "k", "t",
+        "sid", window_us=w, count_name="n").take_all()}
+    bk = big["k"].to_numpy()
+    bt = big["t"].to_numpy()
+    for sid, k_, t_ in zip(small["sid"].to_numpy(), small["k"].to_numpy(),
+                           small["t"].to_numpy()):
+        want = int(((bk == k_) & (bt >= t_) & (bt < t_ + w)).sum())
+        assert got.get(sid, 0) == want
+
+
 def test_multimodal_stub_plumbing():
     from batch_geocode_ray.pipelines.queries import q24_image_features, q25_audio_frames
 
