@@ -17,7 +17,7 @@ S2 (``s2_cell``)
   (no s2 lib); round-trip, containment, and neighborhood invariants are
   unit-tested instead.
 
-Hex (``h3_cell``)
+Hex (``hex_cell``)
   A multi-resolution pointy-top hexagonal grid in equirectangular
   lon/lat space with aperture-7-like scaling (cell size shrinks by
   sqrt(7) per resolution, so res 7-9 sizes track real H3's). Exact H3

@@ -47,7 +47,7 @@ def encode_cells_stage(batch: pa.Table, resolutions=(7, 8, 9), s2_level: int = 1
     for res in resolutions:
         cells = hex_cell(safe_lon, safe_lat, res).astype(np.int64)
         batch = batch.append_column(
-            f"h3_cell_r{res}",
+            f"hex_cell_r{res}",
             pa.array(np.where(ok, cells, 0), pa.int64(), mask=~ok))
     s2 = s2_cell(safe_lon, safe_lat, s2_level).astype(np.int64)
     batch = batch.append_column("s2_cell", pa.array(np.where(ok, s2, 0), pa.int64(), mask=~ok))
@@ -247,7 +247,7 @@ def build_tile_aggregates(page_ds: Dataset, res: int = 7,
     counts (skips the Aggregate+Sort all-to-all ops)."""
     import pyarrow.compute as pc
 
-    cell_col = f"h3_cell_r{res}"
+    cell_col = f"hex_cell_r{res}"
     with_cell = page_ds.map_batches(
         lambda b: b.filter(pc.is_valid(b[cell_col])), batch_format="pyarrow")
     out = tile_aggregate(with_cell, cell_col, merge=merge)

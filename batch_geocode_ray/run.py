@@ -102,7 +102,7 @@ def main(argv=None):
 
     tile_out = {}
     for res in [int(x) for x in args.tiles.split(",") if x]:
-        cols = [f"h3_cell_r{res}", "best_buffer"]
+        cols = [f"hex_cell_r{res}", "best_buffer"]
         # explicit file list: read_parquet expands a single dir but not
         # a LIST of dirs
         part_files = sorted(glob.glob(os.path.join(page_out, "part-*",
@@ -150,7 +150,7 @@ def build_tile_aggregates_from_pages(page_ds, res: int):
 
     from batch_geocode_ray.stages.aggregates import tile_aggregate
 
-    cell_col = f"h3_cell_r{res}"
+    cell_col = f"hex_cell_r{res}"
     with_cell = page_ds.map_batches(
         lambda b: b.filter(pc.is_valid(b[cell_col])), batch_format="pyarrow")
     return tile_aggregate(with_cell, cell_col).sort(cell_col)

@@ -77,3 +77,25 @@ def validate_columns(table: pa.Table, address_col: str,
         return (f"Input data is missing required column(s): "
                 f"{', '.join(missing)}")
     return None
+
+
+def read_table_auto(path_or_bytes, encoding: str | None = None,
+                    filename: str | None = None):
+    """Extension-dispatched intake, porting the reference's
+    ``read_excel`` vs ``read_csv`` pick (utilities.py:174): ``.xlsx``
+    parses via the stdlib OOXML reader (sources/xlsx.py — no codec
+    library exists in this environment), anything else goes through the
+    CSV encoding sweep. Same ``(table, encoding, error)`` contract;
+    xlsx resolves encoding as 'utf-8' (zip/XML is self-describing).
+    For bytes input pass ``filename`` so the extension is known.
+    """
+    name = filename or (path_or_bytes if isinstance(path_or_bytes, str)
+                        else "")
+    if str(name).lower().endswith((".xlsx", ".xlsm")):
+        from batch_geocode_ray.sources.xlsx import read_xlsx
+
+        try:
+            return read_xlsx(path_or_bytes), "utf-8", None
+        except Exception as e:  # bad zip/XML -> reference-style error
+            return None, None, f"could not parse xlsx: {e}"
+    return read_csv_auto(path_or_bytes, encoding)

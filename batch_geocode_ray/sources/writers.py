@@ -80,5 +80,12 @@ def write_reference_csv(ds: Dataset, out_path: str,
             cols[name] = pa.nulls(table.num_rows, typ)
     out = pa.table(cols)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    pacsv.write_csv(out, out_path)
+    if out_path.lower().endswith((".xlsx", ".xlsm")):
+        # the reference writes xlsx when asked to (utilities.py:26-28);
+        # stdlib OOXML writer since no codec library exists here
+        from batch_geocode_ray.sources.xlsx import write_xlsx
+
+        write_xlsx(out, out_path)
+    else:
+        pacsv.write_csv(out, out_path)
     return out.num_rows

@@ -142,7 +142,7 @@ def run_oracle(pages: pa.Table, gaz_table: pa.Table, polys_table: pa.Table,
         if rec["best_lat"] is not None:
             lon, lat = rec["best_long"], rec["best_lat"]
             for res in cfg.hex_resolutions:
-                rec[f"h3_cell_r{res}"] = int(
+                rec[f"hex_cell_r{res}"] = int(
                     hex_cell(np.array([lon]), np.array([lat]), res).astype(np.int64)[0])
             rec["s2_cell"] = int(
                 s2_cell(np.array([lon]), np.array([lat]), cfg.s2_level).astype(np.int64)[0])
@@ -152,7 +152,7 @@ def run_oracle(pages: pa.Table, gaz_table: pa.Table, polys_table: pa.Table,
             rec["knn_ids"], rec["knn_dists"] = ids, dists
         else:
             for res in cfg.hex_resolutions:
-                rec[f"h3_cell_r{res}"] = None
+                rec[f"hex_cell_r{res}"] = None
             rec["s2_cell"] = None
             rec["admin_id"], rec["admin_level"], rec["admin_cc"] = -1, -1, None
             rec["knn_ids"], rec["knn_dists"] = [], []
@@ -160,7 +160,7 @@ def run_oracle(pages: pa.Table, gaz_table: pa.Table, polys_table: pa.Table,
 
     tiles: dict[int, list] = {}
     for rec in rows:
-        c = rec["h3_cell_r7"]
+        c = rec["hex_cell_r7"]
         if c is None:
             continue
         tiles.setdefault(c, []).append(rec["best_buffer"])
@@ -168,7 +168,7 @@ def run_oracle(pages: pa.Table, gaz_table: pa.Table, polys_table: pa.Table,
     for c in sorted(tiles):
         bufs = [b for b in tiles[c] if b is not None]
         tile_rows.append({
-            "h3_cell_r7": c,
+            "hex_cell_r7": c,
             "pages": len(tiles[c]),
             "mean_buffer": (sum(bufs) / len(bufs)) if bufs else None,
             "min_buffer": min(bufs) if bufs else None,

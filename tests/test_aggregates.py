@@ -21,7 +21,7 @@ def make_ds(n=5000, n_cells=7, seed=0, hot_frac=0.5):
     buf = rng.uniform(0, 20, size=n)
     buf[rng.rand(n) < 0.1] = np.nan
     t = pa.table({
-        "h3_cell_r7": pa.array(cells, pa.int64()),
+        "hex_cell_r7": pa.array(cells, pa.int64()),
         "best_buffer": pa.array(buf, pa.float64(), from_pandas=True),
     })
     return rd.from_arrow(t).repartition(8), t
@@ -29,15 +29,15 @@ def make_ds(n=5000, n_cells=7, seed=0, hot_frac=0.5):
 
 def test_tile_aggregate_matches_pandas():
     ds, t = make_ds()
-    got = tile_aggregate(ds, "h3_cell_r7").to_pandas().sort_values("h3_cell_r7").reset_index(drop=True)
+    got = tile_aggregate(ds, "hex_cell_r7").to_pandas().sort_values("hex_cell_r7").reset_index(drop=True)
     df = t.to_pandas()
-    want = df.groupby("h3_cell_r7").agg(
-        pages=("h3_cell_r7", "size"),
+    want = df.groupby("hex_cell_r7").agg(
+        pages=("hex_cell_r7", "size"),
         mean_buffer=("best_buffer", "mean"),
         min_buffer=("best_buffer", "min"),
         max_buffer=("best_buffer", "max"),
     ).reset_index()
-    assert got["h3_cell_r7"].tolist() == want["h3_cell_r7"].tolist()
+    assert got["hex_cell_r7"].tolist() == want["hex_cell_r7"].tolist()
     assert got["pages"].tolist() == want["pages"].tolist()
     np.testing.assert_allclose(got["mean_buffer"], want["mean_buffer"], rtol=1e-9)
     np.testing.assert_allclose(got["min_buffer"], want["min_buffer"], rtol=1e-12)
@@ -46,10 +46,10 @@ def test_tile_aggregate_matches_pandas():
 
 def test_partial_aggregate_collapses_hot_cell():
     _, t = make_ds(n=1000)
-    part = cell_partial_aggregate(t, "h3_cell_r7")
+    part = cell_partial_aggregate(t, "hex_cell_r7")
     # one row per distinct cell regardless of skew -> shuffle carries
     # O(cells) rows per block, not O(pages)
-    assert part.num_rows == len(set(t["h3_cell_r7"].to_pylist()))
+    assert part.num_rows == len(set(t["hex_cell_r7"].to_pylist()))
     assert part["pages"].to_pylist() and sum(part["pages"].to_pylist()) == 1000
 
 
@@ -58,23 +58,23 @@ def test_salted_groupby_matches_unsalted():
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "h3_cell_r7": [df["h3_cell_r7"].iloc[0]],
+            "hex_cell_r7": [df["hex_cell_r7"].iloc[0]],
             "s": [df["best_buffer"].sum()],
             "n": [df["best_buffer"].count()],
         })
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "h3_cell_r7": [df["h3_cell_r7"].iloc[0]],
+            "hex_cell_r7": [df["hex_cell_r7"].iloc[0]],
             "mean_buffer": [df["s"].sum() / max(df["n"].sum(), 1)],
         })
 
-    got = (salted_groupby_map_groups(ds, "h3_cell_r7", partial, final,
+    got = (salted_groupby_map_groups(ds, "hex_cell_r7", partial, final,
                                      num_salts=8, batch_format="pandas")
-           .to_pandas().sort_values("h3_cell_r7").reset_index(drop=True))
+           .to_pandas().sort_values("hex_cell_r7").reset_index(drop=True))
     df = t.to_pandas()
-    want = df.groupby("h3_cell_r7")["best_buffer"].mean().reset_index(name="mean_buffer")
-    assert got["h3_cell_r7"].tolist() == want["h3_cell_r7"].tolist()
+    want = df.groupby("hex_cell_r7")["best_buffer"].mean().reset_index(name="mean_buffer")
+    assert got["hex_cell_r7"].tolist() == want["hex_cell_r7"].tolist()
     np.testing.assert_allclose(got["mean_buffer"], want["mean_buffer"], rtol=1e-9)
 
 

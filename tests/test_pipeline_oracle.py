@@ -80,7 +80,7 @@ def test_pages_match_oracle(ray_result, oracle_result):
                 v = None
             if isinstance(w, float):
                 assert _approx(v, w), f"{want['url']} {col}: {v} != {w}"
-            elif col.startswith(("h3_cell", "s2_cell")):
+            elif col.startswith(("hex_cell", "s2_cell")):
                 assert (v is None and w is None) or int(v) == w, f"{want['url']} {col}"
             else:
                 assert v == w, f"{want['url']} {col}: {v!r} != {w!r}"
@@ -114,7 +114,7 @@ def test_tiles_match_oracle(ray_result, oracle_result):
     got = got_tiles.to_dict("records")
     assert len(got) == len(want_tiles)
     for g, w in zip(got, want_tiles):  # both sorted by cell
-        assert int(g["h3_cell_r7"]) == w["h3_cell_r7"]
+        assert int(g["hex_cell_r7"]) == w["hex_cell_r7"]
         assert int(g["pages"]) == w["pages"]
         for c in ("mean_buffer", "min_buffer", "max_buffer"):
             assert _approx(g[c], w[c], tol=1e-6)

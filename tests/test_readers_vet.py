@@ -94,3 +94,121 @@ def test_cli_runner_resume(tmp_path):
     with open(csv_path) as f:
         header = [c.strip('"') for c in f.readline().strip().split(",")]
     assert "best_name" in header and "GM1_buffer" in header
+
+
+def test_mark_best_matches_reference_js():
+    """Parity with vet.html:131-147: copy the chosen source's fields
+    into best_*, name -> '{name} (from {src})', nameless source ->
+    best_name = src."""
+    import pyarrow as pa
+
+    from batch_geocode_ray.pipelines.vet import mark_best
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2", "u3"]),
+        "GM1_name": pa.array(["Kigali", None, "Lima"]),
+        "GM1_type": pa.array(["city", "city", "city"]),
+        "GM1_lat": pa.array([-1.95, 2.0, -12.05]),
+        "GM1_long": pa.array([30.06, 3.0, -77.04]),
+        "GM1_buffer": pa.array([1.2, 0.5, 3.0]),
+        "OSM1_name": pa.array(["Kigali (OSM)", "Accra", None]),
+        "OSM1_type": pa.array(["node", "node", "node"]),
+        "OSM1_lat": pa.array([-1.96, 5.55, 0.0]),
+        "OSM1_long": pa.array([30.05, -0.2, 0.0]),
+        "OSM1_buffer": pa.array([0.9, 0.4, 0.1]),
+        "best_name": pa.array([None, None, None], pa.string()),
+        "best_type": pa.array([None, None, None], pa.string()),
+        "best_lat": pa.array([None, None, None], pa.float64()),
+        "best_long": pa.array([None, None, None], pa.float64()),
+        "best_buffer": pa.array([None, None, None], pa.float64()),
+    })
+
+    # whole-batch single source
+    out = mark_best(batch, "GM1")
+    assert out["best_name"].to_pylist() == [
+        "Kigali (from GM1)", "GM1", "Lima (from GM1)"]
+    assert out["best_lat"].to_pylist() == [-1.95, 2.0, -12.05]
+    assert out["best_buffer"].to_pylist() == [1.2, 0.5, 3.0]
+
+    # per-row choice (each vetting click picks a source for one row)
+    out2 = mark_best(batch, pa.array(["OSM1", "GM1", "OSM1"]))
+    assert out2["best_name"].to_pylist() == [
+        "Kigali (OSM) (from OSM1)", "GM1", "OSM1"]
+    assert out2["best_lat"].to_pylist() == [-1.96, 2.0, 0.0]
+    assert out2["best_type"].to_pylist() == ["node", "city", "node"]
+
+
+def test_xlsx_round_trip_and_dispatch(tmp_path):
+    """Stdlib OOXML subset: write -> read round-trips values and types;
+    the intake dispatches by extension like the reference
+    (utilities.py:174); sharedStrings + sparse rows parse."""
+    import pyarrow as pa
+
+    from batch_geocode_ray.sources.readers import read_table_auto
+    from batch_geocode_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    t = pa.table({
+        "address": pa.array(["Kigali, Rwanda", "São Paulo", None]),
+        "iso2": pa.array(["rw", "br", "pe"]),
+        "best_lat": pa.array([-1.95, -23.55, None], pa.float64()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    })
+    path = str(tmp_path / "vet_output.xlsx")
+    write_xlsx(t, path)
+    back = read_xlsx(path)
+    assert back["address"].to_pylist() == ["Kigali, Rwanda", "São Paulo", None]
+    assert back["iso2"].to_pylist() == ["rw", "br", "pe"]
+    assert back["best_lat"].to_pylist() == [-1.95, -23.55, None]
+    assert back["n"].to_pylist() == [1.0, 2.0, 3.0]  # numbers -> float64
+
+    tbl, enc, err = read_table_auto(path)
+    assert err is None and tbl.num_rows == 3 and enc == "utf-8"
+
+    # a foreign-producer shape: sharedStrings + r-addressed sparse cells
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c>'
+        '<c r="C2" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>").encode()
+    parts["xl/sharedStrings.xml"] = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main" count="3" uniqueCount="3">'
+        "<si><t>k</t></si><si><t>name</t></si><si><t>hello</t></si></sst>"
+    ).encode()
+    with zipfile.ZipFile(buf, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    foreign = read_xlsx(buf.getvalue())
+    assert foreign.column_names == ["k", "col1", "name"]
+    assert foreign["k"].to_pylist() == [7.0]
+    assert foreign["name"].to_pylist() == ["hello"]
+
+
+def test_write_reference_output_xlsx(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from batch_geocode_ray.sources.writers import write_reference_csv
+    from batch_geocode_ray.sources.xlsx import read_xlsx
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u1"]),
+        "best_name": pa.array(["X"]),
+        "best_lat": pa.array([1.0]),
+    }))
+    out = str(tmp_path / "o.xlsx")
+    n = write_reference_csv(ds, out)
+    assert n == 1
+    t = read_xlsx(out)
+    assert t.column_names[0] == "url" and "best_name" in t.column_names
