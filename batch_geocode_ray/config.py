@@ -41,6 +41,13 @@ class PipelineConfig:
     # binding constraint on a big cluster, while min=1 keeps small hosts
     # from starving (see actor_num_cpus below).
     batch_size: int = 2048
+    # Fused task-mode stage: None = one batch per read block, which
+    # lets Ray fuse ReadParquet->MapBatches->Write into ONE operator —
+    # no intermediate object-store round trip (measured ~15% at 32
+    # CPUs, and it is exactly the memory traffic the bandwidth-bound
+    # 8->32 pair pays for). Block grain is set by _read_num_blocks
+    # (~32 MB), so per-batch memory stays bounded.
+    fused_batch_size: int | None = None
     matcher_concurrency: int | tuple[int, int] = (1, 64)
     pip_concurrency: int | tuple[int, int] = (1, 32)
     # Logical CPUs reserved per actor. Fractional on purpose: a pipeline

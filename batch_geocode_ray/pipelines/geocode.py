@@ -77,7 +77,10 @@ class GeocodeFusedStage:
             self.matcher.gaz, config=config, lang_cc_prior=lang_cc_prior,
             keep_columns=keep_columns or ["url", "warc_ts", "lang"])
         self.pip = PIPJoin(polygons) if polygons is not None else None
-        self.knn = (KNNFacilities(facilities, k=config.knn_k)
+        # grid probe: vectorized per-cell candidate rings with exact
+        # brute-force fallback — same output as brute force (pinned in
+        # tests), measured 0.5 vs 9.8 us/page at F=1000
+        self.knn = (KNNFacilities(facilities, k=config.knn_k, use_grid=True)
                     if with_knn and facilities is not None else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -100,6 +103,38 @@ def _fused_pool_size() -> int:
     except Exception:
         cpus = 4
     return max(2, cpus - 2)
+
+
+def _read_num_blocks(paths) -> int | None:
+    """Read-block count for the page table: Ray's default plan for
+    many-small-file inputs lands on tiny blocks (one or two per file),
+    and the fused stage then runs hundreds of ~200ms tasks whose fixed
+    overheads cost ~2x throughput at 32 CPUs (measured 154k -> 345k
+    pages/s at 960k pages by coarsening 384 -> 96 blocks). Target
+    ~32 MB per block with a floor of 3 tasks/CPU so every core still
+    gets several waves; None (Ray's default) when the input size can't
+    be cheaply known (remote storage globs)."""
+    import os
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    try:
+        total = 0
+        for p in ([paths] if isinstance(paths, str) else list(paths)):
+            if os.path.isdir(p):
+                for e in os.scandir(p):
+                    total += e.stat().st_size
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+            else:
+                return None
+        if total <= 0:
+            return None
+    except OSError:
+        return None
+    return max(3 * cpus, total // (32 << 20))
 
 
 # Per-worker soft-state cache for the task-mode fused stage. Ray worker
@@ -153,7 +188,8 @@ def build_geocode_pipeline(pages_path: str | list[str],
         lang_cc_prior = LANG_CC_PRIOR
     gaz_ref = ray.put(gaz_index)
 
-    ds = rd.read_parquet(pages_path)
+    ds = rd.read_parquet(pages_path,
+                         override_num_blocks=_read_num_blocks(pages_path))
 
     if fused:
         poly_ref = (ray.put(PolygonIndex(admin_polygons))
@@ -177,7 +213,7 @@ def build_geocode_pipeline(pages_path: str | list[str],
                 _fused_task_fn,
                 fn_kwargs={"cache_key": cache_key, **kwargs},
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=cfg.fused_batch_size,
             )
         return ds.map_batches(
             GeocodeFusedStage,
