@@ -133,8 +133,11 @@ def main():
         # scheduling), sync + settle so the previous run's writeback
         # doesn't bleed in, interleave repeats and keep the best
         # (hypervisor noise moves single shots +-25%).
-        pairs = [(2, 8, max(SCALING_PAGES // 4, 600_000)),
-                 (8, 32, SCALING_PAGES)]
+        # page counts sized so even the fast (4N) level runs >=10s —
+        # fixed overheads (~1-2s plan+spin-up) then stay <10% and the
+        # hypervisor's minute-scale weather averages out
+        pairs = [(2, 8, max(SCALING_PAGES // 2, 600_000)),
+                 (8, 32, SCALING_PAGES * 2)]
         repeats = int(os.environ.get("BGR_SCALING_REPEATS", "1"))
         for _, _, n in pairs:
             subprocess.run(
