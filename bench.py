@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "q27_event_sessions",       # gap-based sessionization
     "q32_rasterize_events",     # raster<->vector
     "q34_corpus_curation",      # dedup+quality+langid curation pipeline
-    "q37_distinct_urls_hll",    # mergeable sketch
+    "q37_distinct_urls_hll",    # sketch, tolerance-gated vs exact
+    "q42_signup_followup_counts",  # keyed range (interval) join
+    "q43_user_moving_avg",      # per-key ROWS-window aggregate
 ]
 
 
