@@ -260,6 +260,20 @@ def hex_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     return hex_cell(x, y, parent_res)
 
 
+def hex_kring_array(cells: np.ndarray, k: int = 1) -> np.ndarray:
+    """(n, m) k-ring cells for an ARRAY of cells — vectorized: the
+    axial (q, r) fields are separate bit ranges, so a ring neighbor is
+    the packed cell plus ``(dq << 24) + dr`` (|dq|,|dr| <= k never
+    crosses a field boundary at 24-bit offsets)."""
+    deltas = np.array(
+        [(dq << 24) + dr
+         for dq in range(-k, k + 1)
+         for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)],
+        dtype=np.int64)
+    base = np.asarray(cells, dtype=np.uint64).astype(np.int64)
+    return base[:, None] + deltas[None, :]
+
+
 def hex_kring(cell: int, k: int = 1) -> list[int]:
     """The cell plus its hex neighbors within grid distance k (driver-side
     helper for neighborhood probes; not a hot-path kernel).

@@ -76,27 +76,24 @@ def knn_partitioned(points: "Dataset", facilities: "Dataset", k: int = 3,
     size_deg = 10.0 / (np.sqrt(7.0) ** grid_res)
 
     def fac_explode(b: pa.Table) -> pa.Table:
+        from batch_geocode_ray.functions.cells import hex_kring_array
+
         lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False), np.float64)
         lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False), np.float64)
         ids = np.asarray(b["facility_id"].to_numpy(zero_copy_only=False),
                          np.int64)
-        cells = hex_cell(lon, lat, grid_res)
-        out_cell, out_id, out_lon, out_lat = [], [], [], []
-        for i in range(len(ids)):
-            for cell in hex_kring(int(cells[i]), 1):
-                out_cell.append(cell)
-                out_id.append(ids[i])
-                out_lon.append(lon[i])
-                out_lat.append(lat[i])
+        ring = hex_kring_array(hex_cell(lon, lat, grid_res), 1)  # (n, 7)
+        m = ring.shape[1] if len(ids) else 0
+        total = len(ids) * m
         return pa.table({
-            "_cell": pa.array(out_cell, pa.int64()),
-            "_fid": pa.array(out_id, pa.int64()),
-            "_flon": pa.array(out_lon, pa.float64()),
-            "_flat": pa.array(out_lat, pa.float64()),
-            "_side": pa.array(["f"] * len(out_cell), pa.string()),
-            id_col: pa.array([None] * len(out_cell), pa.string()),
-            "_plon": pa.array([None] * len(out_cell), pa.float64()),
-            "_plat": pa.array([None] * len(out_cell), pa.float64()),
+            "_cell": pa.array(ring.ravel(), pa.int64()),
+            "_fid": pa.array(np.repeat(ids, m), pa.int64()),
+            "_flon": pa.array(np.repeat(lon, m), pa.float64()),
+            "_flat": pa.array(np.repeat(lat, m), pa.float64()),
+            "_side": pa.array(["f"] * total, pa.string()),
+            id_col: pa.array([None] * total, pa.string()),
+            "_plon": pa.array([None] * total, pa.float64()),
+            "_plat": pa.array([None] * total, pa.float64()),
         })
 
     def point_rows(b: pa.Table) -> pa.Table:
