@@ -663,40 +663,59 @@ def q23_tile_aggregates(sf_dir: str) -> Dataset:
 
 
 def _media_table(n: int = 64) -> pa.Table:
-    rng = np.random.RandomState(5)
-    payloads = [rng.bytes(256) for _ in range(n)]
+    """Deterministic REAL media fixtures: each row is a valid
+    uncompressed 8-bit BMP with a per-id gradient pattern."""
+    from batch_geocode_ray.stages.multimodal import make_bmp
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    payloads = [make_bmp(((xx * 2 + yy + 7 * i) % 256).astype(np.uint8))
+                for i in range(n)]
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "image": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["image/png"] * n, pa.string()),
-        "width": pa.array([64] * n, pa.int32()),
-        "height": pa.array([48] * n, pa.int32()),
+        "mime": pa.array(["image/bmp"] * n, pa.string()),
+        "width": pa.array([w] * n, pa.int32()),
+        "height": pa.array([h] * n, pa.int32()),
     })
 
 
 def q24_image_features(sf_dir: str) -> Dataset:
+    """Image feature extraction over an actor pool with a REAL decoder
+    (uncompressed BMP parsed from the DIB layout — stdlib only; see
+    stages/multimodal.py; compressed formats still raise with the
+    needed codec named). Rows-only check: binary media are not a SQL
+    domain."""
     from batch_geocode_ray.stages.multimodal import ImageFeatures
 
     ds = rd.from_arrow(_media_table())
     return ds.map_batches(
-        ImageFeatures, batch_size=16, batch_format="pyarrow",
+        ImageFeatures, fn_constructor_kwargs={"decode": "real"},
+        batch_size=16, batch_format="pyarrow",
         concurrency=(1, 2), num_cpus=0.5).sort("media_id")
 
 
 def q25_audio_frames(sf_dir: str) -> Dataset:
-    from batch_geocode_ray.stages.multimodal import AudioFrameSample
+    """Audio frame energies over an actor pool with a REAL decoder
+    (16-bit PCM WAV via stdlib ``wave``)."""
+    from batch_geocode_ray.stages.multimodal import AudioFrameSample, make_wav
 
     n = 64
-    rng = np.random.RandomState(6)
+    n_samples, rate = 4096, 16000
+    t_axis = np.arange(n_samples) / rate
+    payloads = [make_wav(0.5 * np.sin(2 * np.pi * (110.0 + 13.0 * i) * t_axis),
+                         rate)
+                for i in range(n)]
     t = pa.table({
         "media_id": pa.array(range(n), pa.int64()),
-        "audio": pa.array([rng.bytes(512) for _ in range(n)], pa.binary()),
+        "audio": pa.array(payloads, pa.binary()),
         "mime": pa.array(["audio/wav"] * n, pa.string()),
-        "sample_rate": pa.array([16000] * n, pa.int32()),
-        "n_samples": pa.array([4096] * n, pa.int64()),
+        "sample_rate": pa.array([rate] * n, pa.int32()),
+        "n_samples": pa.array([n_samples] * n, pa.int64()),
     })
     return rd.from_arrow(t).map_batches(
-        AudioFrameSample, batch_size=16, batch_format="pyarrow",
+        AudioFrameSample, fn_constructor_kwargs={"decode": "real"},
+        batch_size=16, batch_format="pyarrow",
         concurrency=(1, 2), num_cpus=0.5).sort("media_id")
 
 

@@ -2,26 +2,102 @@
 
 Media ride as opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages sized for large payloads (small
-``batch_size``, fractional CPU). The Ray-side plumbing — schemas, actor
-lifecycle, batch sizing, output layout — is real and tested; the codec
-work itself is STUBBED because no image/audio library exists in this
-container:
+``batch_size``, fractional CPU). Decode modes:
 
-  * ``decode="fake"`` (default) produces a deterministic payload-hash
-    derived pseudo-decode so tests can pin end-to-end behavior;
-  * ``decode="strict"`` raises ``NotImplementedError`` at the exact
-    point a real decoder (Pillow/libsndfile/ffmpeg) would be called.
+  * ``decode="real"`` — ACTUAL decoders for the container-friendly
+    formats: uncompressed BMP (pure struct/NumPy over the DIB layout)
+    and PCM WAV (stdlib ``wave``). Compressed formats (png/jpeg/mp3)
+    still need external codecs and raise ``NotImplementedError`` with
+    the exact library to install.
+  * ``decode="fake"`` (default) — deterministic payload-hash-derived
+    pseudo-decode so plumbing tests pin end-to-end behavior with any
+    byte payload;
+  * ``decode="strict"`` — raises at the decoder callsite
+    unconditionally (asserts the stub boundary in tests).
 
-Swapping in a real decoder touches ONLY ``_decode_image`` /
-``_decode_audio``.
+``make_bmp`` / ``make_wav`` encode NumPy arrays into real files for
+fixtures, so the real path is round-trip-tested in-sandbox.
 """
 
 from __future__ import annotations
+
+import struct
+import wave as _wave
+import io
 
 import numpy as np
 import pyarrow as pa
 
 from batch_geocode_ray.functions.hashing import splitmix64
+
+
+def make_bmp(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as an 8-bit uncompressed
+    BMP (BITMAPINFOHEADER + 256-entry gray palette, bottom-up rows)."""
+    h, w = gray.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = gray
+    pix = rows[::-1].tobytes()  # bottom-up
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    data_off = 14 + 40 + len(palette)
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(pix), 0, 0, data_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix),
+                            2835, 2835, 256, 0))
+    return header + palette + pix
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 8-bit-gray or 24-bit BMP to (h, w) uint8
+    grayscale (24-bit channels averaged)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only uncompressed "
+            "8/24-bit supported (compressed images need Pillow)")
+    h = abs(h_signed)
+    stride = ((w * bpp // 8) + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, count=stride * h,
+                        offset=data_off).reshape(h, stride)
+    if bpp == 24:
+        gray = arr[:, :w * 3].reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+    else:
+        gray = arr[:, :w]
+    return gray[::-1] if h_signed > 0 else gray
+
+
+def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode float64 samples in [-1, 1] as 16-bit PCM WAV."""
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.clip(samples * 32767.0, -32768, 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV -> (float64 samples in [-1, 1], rate);
+    multichannel is averaged to mono."""
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sampwidth={w.getsampwidth()}: only 16-bit PCM "
+                "supported (other encodings need libsndfile)")
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    samples = raw.astype(np.float64) / 32768.0
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
 
 IMAGE_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -69,6 +145,12 @@ class ImageFeatures:
             raise NotImplementedError(
                 "image decode requires Pillow/opencv (not in this container); "
                 "run with decode='fake' for deterministic plumbing tests")
+        if self.decode == "real":
+            if payload[:2] == b"BM":
+                return decode_bmp(payload)
+            raise NotImplementedError(
+                "decode='real' supports uncompressed BMP only in this "
+                "container; png/jpeg need Pillow")
         return _fake_pixels(payload, min(h, 64), min(w, 64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -108,6 +190,12 @@ class AudioFrameSample:
             raise NotImplementedError(
                 "audio decode requires libsndfile/ffmpeg (not in this "
                 "container); run with decode='fake'")
+        if self.decode == "real":
+            if payload[:4] == b"RIFF":
+                return decode_wav(payload)[0]
+            raise NotImplementedError(
+                "decode='real' supports 16-bit PCM WAV only in this "
+                "container; mp3/ogg need ffmpeg/libsndfile")
         seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
         n = min(n_samples, 4096)
         vals = splitmix64(np.arange(n, dtype=np.uint64) + seed)

@@ -347,3 +347,48 @@ def test_multimodal_strict_raises():
             "width": pa.array([8], pa.int32()),
             "height": pa.array([8], pa.int32()),
         }))
+
+
+def test_bmp_wav_codecs_round_trip():
+    """The 'real' decode path uses actual codecs: BMP encode->decode is
+    pixel-exact; WAV encode->decode recovers samples to 16-bit
+    quantization."""
+    from batch_geocode_ray.stages.multimodal import (
+        decode_bmp,
+        decode_wav,
+        make_bmp,
+        make_wav,
+    )
+
+    gray = (np.add.outer(np.arange(48), np.arange(64) * 3) % 256
+            ).astype(np.uint8)
+    assert (decode_bmp(make_bmp(gray)) == gray).all()
+    # odd width exercises row padding
+    gray2 = gray[:, :61]
+    assert (decode_bmp(make_bmp(gray2)) == gray2).all()
+
+    t = np.arange(2048) / 16000.0
+    s = 0.25 * np.sin(2 * np.pi * 440 * t)
+    back, rate = decode_wav(make_wav(s, 16000))
+    assert rate == 16000 and len(back) == 2048
+    # 16-bit quantization: truncation + 32767/32768 scale => <=2 LSB
+    np.testing.assert_allclose(back, s, atol=2.0 / 32768)
+
+    with pytest.raises(NotImplementedError):
+        from batch_geocode_ray.stages.multimodal import ImageFeatures
+        ImageFeatures(decode="real")._decode_image(b"\x89PNG....", 8, 8)
+
+
+def test_media_queries_real_decode():
+    from batch_geocode_ray.pipelines.queries import (
+        q24_image_features,
+        q25_audio_frames,
+    )
+
+    img = q24_image_features("unused").take_all()
+    assert len(img) == 64 and len(img[0]["features"]) == 16
+    # histogram of the known gradient pattern: uniform-ish, sums to 1
+    assert abs(sum(img[0]["features"]) - 1.0) < 1e-9
+    aud = q25_audio_frames("unused").take_all()
+    # frame energy of a 0.5-amplitude sine ~ 0.125
+    assert all(abs(e - 0.125) < 0.01 for e in aud[0]["frame_energy"])
