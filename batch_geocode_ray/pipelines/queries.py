@@ -1391,6 +1391,57 @@ FROM events ORDER BY event_id
 """
 
 
+def q44_price_quantile_sketch(sf_dir: str) -> Dataset:
+    """Mergeable quantile-summary sketch, tolerance-gated like q37: per
+    return flag the query emits the EXACT p50/p95 (SQL-computable via
+    quantile_disc) plus a boolean asserting the distributed sketch
+    (k=512 rank-spaced entries per block, ~0.4% rank error) lands
+    within 1% rank-error of the exact values. The sketch is the scale
+    path for quantiles over groups too large for exact per-group sorts
+    (stages/aggregates.grouped_quantiles)."""
+    import ray.data as rd_
+
+    from batch_geocode_ray.functions.sketches import quantile_sketch
+    from batch_geocode_ray.stages.aggregates import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    exact = {r["l_returnflag"]: (r["p50_price"], r["p95_price"])
+             for r in grouped_quantiles(
+                 li, "l_returnflag", "l_extendedprice",
+                 [0.5, 0.95], ["p50_price", "p95_price"]).take_all()}
+    flags = sorted(exact)
+    rows = []
+    for flag in flags:
+        sub = li.filter(expr=f"l_returnflag == '{flag}'")
+        est50, est95 = quantile_sketch(sub, "l_extendedprice", [0.5, 0.95])
+        # tolerance on the VALUE axis via nearby exact quantiles is
+        # awkward; gate on rank error instead: the estimate must fall
+        # between the exact p49/p51 (p94/p96) discrete quantiles.
+        lo50, hi50, lo95, hi95 = [
+            r for row in grouped_quantiles(
+                li.filter(expr=f"l_returnflag == '{flag}'"),
+                "l_returnflag", "l_extendedprice",
+                [0.49, 0.51, 0.94, 0.96], ["a", "b", "c", "d"]).take_all()
+            for r in (row["a"], row["b"], row["c"], row["d"])]
+        ok = bool(lo50 <= est50 <= hi50 and lo95 <= est95 <= hi95)
+        rows.append((flag, exact[flag][0], exact[flag][1], ok))
+    return rd_.from_arrow(pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "p50_price": pa.array([r[1] for r in rows], pa.float64()),
+        "p95_price": pa.array([r[2] for r in rows], pa.float64()),
+        "sketch_ok": pa.array([r[3] for r in rows], pa.bool_()),
+    }))
+
+
+SQL_Q44 = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5)  AS p50_price,
+       quantile_disc(l_extendedprice, 0.95) AS p95_price,
+       true AS sketch_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1439,6 +1490,7 @@ QUERIES = {
     "q41_url_canonical": q41_url_canonical,
     "q42_signup_followup_counts": q42_signup_followup_counts,
     "q43_user_moving_avg": q43_user_moving_avg,
+    "q44_price_quantile_sketch": q44_price_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -1476,6 +1528,7 @@ ORACLE_SQL = {
     "q41_url_canonical": SQL_Q41,
     "q42_signup_followup_counts": SQL_Q42,
     "q43_user_moving_avg": SQL_Q43,
+    "q44_price_quantile_sketch": SQL_Q44,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

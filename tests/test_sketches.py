@@ -90,3 +90,34 @@ def test_mg_distributed():
     top = [item for item, _ in hh[:2]]
     assert top == ["a", "b"]
     assert hh[0][1] <= 500  # lower bound never over-counts
+
+
+def test_quantile_sketch_bounds_and_merge():
+    """Rank error of the mergeable quantile summary stays ~2/k after a
+    partial->merge round, and merging is order-insensitive."""
+    import numpy as np
+
+    from batch_geocode_ray.functions.sketches import (
+        quantile_merge,
+        quantile_partial,
+        quantile_query,
+    )
+
+    rng = np.random.RandomState(3)
+    data = rng.lognormal(3.0, 1.0, 200_000)
+    chunks = np.array_split(data, 37)
+    parts = [quantile_partial(c, k=512) for c in chunks]
+    merged = quantile_merge(parts, k=512)
+    merged_rev = quantile_merge(parts[::-1], k=512)
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = quantile_query(merged, q)
+        # rank of the estimate must be within 1% of q
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) < 0.01, (q, rank)
+    for q in (0.25, 0.75):
+        a = quantile_query(merged, q)
+        b = quantile_query(merged_rev, q)
+        ra = np.searchsorted(s, a) / len(s)
+        rb = np.searchsorted(s, b) / len(s)
+        assert abs(ra - rb) < 0.01
