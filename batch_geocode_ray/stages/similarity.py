@@ -97,21 +97,38 @@ def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
             "sim": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        s = np.asarray(group["sim"].to_numpy(zero_copy_only=False))
-        nid = np.asarray(group["neighbor_id"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        order = np.lexsort((nid, -s))[:k]
+    return _merge_partial_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k)
+
+
+def _merge_partial_topk(partials: Dataset, k: int) -> Dataset:
+    """Final per-query top-k over the partials in ONE task: the
+    partials total k x n_queries x n_blocks tiny rows, so a
+    groupby(query_id) all-to-all (~1-2s fixed) is pure overhead —
+    route them to a single task and segment with a lexsort. Output
+    ordered (query_id, rank), the oracle order."""
+
+    def merge_one(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["query_id"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        nid = np.asarray(b["neighbor_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        s = np.asarray(b["sim"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((nid, -s, q))
+        q, nid = q[order], nid[order]
+        new_q = np.ones(len(q), dtype=bool)
+        new_q[1:] = q[1:] != q[:-1]
+        start = np.maximum.accumulate(np.where(new_q, np.arange(len(q)), 0))
+        rank = np.arange(len(q)) - start + 1
+        keep = rank <= k
         return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(nid[order], pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(nid[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
         })
 
-    return (ds.map_batches(partial_topk, batch_format="pyarrow")
-            .groupby("query_id")
-            .map_groups(final_topk, batch_format="pyarrow"))
+    return partials.repartition(1).map_batches(
+        merge_one, batch_format="pyarrow", batch_size=None)
 
 
 def _pair_table(d1, d2, cos) -> pa.Table:
@@ -418,18 +435,5 @@ def ivf_knn(ds: Dataset, vec_col: str, id_col: str,
             "sim": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        s = np.asarray(group["sim"].to_numpy(zero_copy_only=False))
-        nid = np.asarray(group["neighbor_id"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        order = np.lexsort((nid, -s))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "neighbor_id": pa.array(nid[order], pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        })
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("query_id")
-            .map_groups(final_topk, batch_format="pyarrow"))
+    return _merge_partial_topk(
+        ds.map_batches(partial, batch_format="pyarrow"), k)
