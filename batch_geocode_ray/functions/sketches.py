@@ -237,22 +237,54 @@ def quantile_sketch(ds, col: str, qs: list[float],
     (map_batches partial), merged on the driver (n_blocks x k floats,
     independent of row count), then queried. The scale path for
     quantiles over groups too large for exact per-group sorting."""
+    out = grouped_quantile_sketch(ds, None, col, qs, k)
+    return out[None]
+
+
+def grouped_quantile_sketch(ds, group_col: str | None, col: str,
+                            qs: list[float], k: int = 512) -> dict:
+    """Per-group approximate quantiles in ONE pass: each block emits a
+    k-entry summary per group it saw (one row per (group, block) — the
+    same skew-collapsing shape as the tile aggregates), the driver
+    merges per group and queries. Returns {group: [quantile per q]}.
+    ``group_col=None`` sketches the whole column as one group."""
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
-        vals, weights = quantile_partial(b[col], k)
+        if group_col is None:
+            groups = {None: np.arange(b.num_rows)}
+        else:
+            keys = np.asarray(b[group_col].to_numpy(zero_copy_only=False))
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(sk[1:] != sk[:-1])[0] + 1, [len(sk)]])
+            groups = {sk[s]: order[s:e]
+                      for s, e in zip(bounds[:-1], bounds[1:])}
+        v = np.asarray(b[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        gs, vs, ws = [], [], []
+        for g, rows in groups.items():
+            vals, weights = quantile_partial(v[rows], k)
+            gs.append("" if g is None else str(g))
+            vs.append(vals.tobytes())
+            ws.append(weights.tobytes())
         return pa.table({
-            "v": pa.array([vals.tobytes()], pa.binary()),
-            "w": pa.array([weights.tobytes()], pa.binary()),
+            "g": pa.array(gs, pa.string()),
+            "v": pa.array(vs, pa.binary()),
+            "w": pa.array(ws, pa.binary()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    summaries = [(np.frombuffer(r["v"], dtype=np.float64),
-                  np.frombuffer(r["w"], dtype=np.float64))
-                 for t in (ray.get(ref) for ref in parts.to_arrow_refs())
-                 for r in t.to_pylist()]
-    merged = quantile_merge(summaries, k)
-    return [quantile_query(merged, q) for q in qs]
+    by_group: dict = {}
+    for t in (ray.get(ref) for ref in parts.to_arrow_refs()):
+        for r in t.to_pylist():
+            key = None if group_col is None else r["g"]
+            by_group.setdefault(key, []).append(
+                (np.frombuffer(r["v"], dtype=np.float64),
+                 np.frombuffer(r["w"], dtype=np.float64)))
+    return {g: [quantile_query(quantile_merge(ps, k), q) for q in qs]
+            for g, ps in by_group.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -1401,30 +1401,29 @@ def q44_price_quantile_sketch(sf_dir: str) -> Dataset:
     (stages/aggregates.grouped_quantiles)."""
     import ray.data as rd_
 
-    from batch_geocode_ray.functions.sketches import quantile_sketch
+    from batch_geocode_ray.functions.sketches import grouped_quantile_sketch
     from batch_geocode_ray.stages.aggregates import grouped_quantiles
 
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    exact = {r["l_returnflag"]: (r["p50_price"], r["p95_price"])
+    # ONE exact pass (the gate bands p-1%/p+1% ride along) + ONE
+    # grouped sketch pass — no per-group re-scans
+    exact = {r["l_returnflag"]: r
              for r in grouped_quantiles(
                  li, "l_returnflag", "l_extendedprice",
-                 [0.5, 0.95], ["p50_price", "p95_price"]).take_all()}
-    flags = sorted(exact)
+                 [0.5, 0.95, 0.49, 0.51, 0.94, 0.96],
+                 ["p50_price", "p95_price", "lo50", "hi50",
+                  "lo95", "hi95"]).take_all()}
+    est = grouped_quantile_sketch(li, "l_returnflag", "l_extendedprice",
+                                  [0.5, 0.95])
     rows = []
-    for flag in flags:
-        sub = li.filter(expr=f"l_returnflag == '{flag}'")
-        est50, est95 = quantile_sketch(sub, "l_extendedprice", [0.5, 0.95])
-        # tolerance on the VALUE axis via nearby exact quantiles is
-        # awkward; gate on rank error instead: the estimate must fall
-        # between the exact p49/p51 (p94/p96) discrete quantiles.
-        lo50, hi50, lo95, hi95 = [
-            r for row in grouped_quantiles(
-                li.filter(expr=f"l_returnflag == '{flag}'"),
-                "l_returnflag", "l_extendedprice",
-                [0.49, 0.51, 0.94, 0.96], ["a", "b", "c", "d"]).take_all()
-            for r in (row["a"], row["b"], row["c"], row["d"])]
-        ok = bool(lo50 <= est50 <= hi50 and lo95 <= est95 <= hi95)
-        rows.append((flag, exact[flag][0], exact[flag][1], ok))
+    for flag in sorted(exact):
+        e = exact[flag]
+        est50, est95 = est[flag]
+        # gate on RANK error: the estimate must fall between the exact
+        # p-1% and p+1% discrete quantiles of its group
+        ok = bool(e["lo50"] <= est50 <= e["hi50"]
+                  and e["lo95"] <= est95 <= e["hi95"])
+        rows.append((flag, e["p50_price"], e["p95_price"], ok))
     return rd_.from_arrow(pa.table({
         "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
         "p50_price": pa.array([r[1] for r in rows], pa.float64()),
