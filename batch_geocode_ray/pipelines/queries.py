@@ -1064,35 +1064,67 @@ def q35_embedding_clusters(sf_dir: str) -> Dataset:
 
 
 def q36_domain_stats(sf_dir: str) -> Dataset:
-    """Web-corpus URL plumbing: canonicalize page urls, extract the
-    registered domain, count pages + a stable 10% deterministic sample
-    per domain (fixture input — rows-only check)."""
-    import ray.data as rd_
-
+    """Web-corpus URL plumbing under an oracle: both engines synthesize
+    the same urls per document (q41's construction), canonicalize,
+    extract the registered domain and count pages per domain — exact
+    and SQL-checkable. The 10% deterministic hash-sample (splitmix64 —
+    not SQL-recomputable) is gated by TOLERANCE instead: a global
+    ``sample_ok`` flag asserts the sampled fraction lands within
+    ±4 pp of the 10% rate (binomial sd at 500 docs ≈ 1.3 pp)."""
     from batch_geocode_ray.functions.urls import (
         canonicalize_urls,
         deterministic_sample_mask,
         registered_domain_of,
     )
 
-    pages, _ = _fixture_pages_for(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def f(b: pa.Table) -> pa.Table:
-        canon = canonicalize_urls(b["url"])
+        n = b.num_rows
+        did = pc.cast(b["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            pa.array(["https://www."] * n), b["source"],
+            pa.array([".com/docs/"] * n), did, "")
+        canon = canonicalize_urls(url)
         dom = registered_domain_of(canon)
         samp = deterministic_sample_mask(canon, 0.1)
         return pa.table({
             "domain": dom,
-            "_one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "_one": pa.array(np.ones(n, dtype=np.int64)),
             "_samp": pa.array(samp.astype(np.int64)),
         })
 
-    ds = rd_.read_parquet(pages, columns=["url"]).map_batches(
-        f, batch_format="pyarrow")
-    return grouped_aggregate(
-        ds, ["domain"],
+    agg = grouped_aggregate(
+        docs.map_batches(f, batch_format="pyarrow"), ["domain"],
         [("_one", "count", "n_pages"), ("_samp", "sum", "n_sampled")],
         merge="single", sort_keys=["domain"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        total = float(pc.sum(b["n_pages"]).as_py() or 0)
+        sampled = float(pc.sum(b["n_sampled"]).as_py() or 0)
+        ok = total > 0 and abs(sampled / total - 0.1) <= 0.04
+        return pa.table({
+            "domain": b["domain"],
+            "n_pages": b["n_pages"],
+            "sample_ok": pa.array([ok] * b.num_rows, pa.bool_()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
+SQL_Q36 = """
+WITH u AS (
+  SELECT 'https://www.' || source || '.com/docs/' || doc_id AS url
+  FROM documents
+)
+SELECT lower(regexp_extract(regexp_extract(url,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),
+         '([^.]+\\.[^.]+)$', 1)) AS domain,
+       count(*) AS n_pages,
+       true AS sample_ok
+FROM u GROUP BY domain ORDER BY domain
+"""
 
 
 def _distinct_count_exact(ds: Dataset, col: str) -> int:
@@ -1520,6 +1552,7 @@ ORACLE_SQL = {
     "q32_rasterize_events": SQL_Q32,
     "q33_events_last_order": SQL_Q33,
     "q34_corpus_curation": SQL_Q34,
+    "q36_domain_stats": SQL_Q36,
     "q37_distinct_urls_hll": SQL_Q37,
     "q38_heavy_hitters": SQL_Q38,
     "q39_hopping_windows": SQL_Q39,
@@ -1543,7 +1576,4 @@ ORACLE_SQL = {
     #       the sandbox); plumbing is deterministic and pytest-pinned.
     #   q35 k-means — iterative/fixpoint, not SQL-expressible;
     #       determinism + quality pinned in tests/test_kmeans.py.
-    #   q36 domain stats — fixture page input + deterministic-sample
-    #       hash (splitmix64) not SQL-expressible; the URL kernels are
-    #       oracle-gated via q41 instead.
 }
