@@ -620,8 +620,45 @@ def q19_simhash_neardup(sf_dir: str) -> Dataset:
 
 
 def q20_fingerprint_dedup(sf_dir: str) -> Dataset:
+    """Winnowing-fingerprint prefilter with exact verification:
+    candidate pairs form only inside fingerprint buckets, then verify
+    full-text equality. Identical texts ALWAYS share the fingerprint,
+    so recall is 1.0 by construction and the output equals the SQL
+    text-equality self-join. The testdata corpus has no exact dups, so
+    both engines augment it the same way (a doc_id+100000 copy of
+    every 7th document) — the gate then checks the planted pairs are
+    all found and nothing else survives verification. The raw
+    fingerprint grouping stays available as
+    stages/dedup.fingerprint_dedup (pytest-pinned)."""
+    from batch_geocode_ray.stages.dedup import fingerprint_dup_pairs
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return fingerprint_dedup(docs, "text", "doc_id")
+
+    def augment(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.subtract(
+            b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 7), 7)), 0)
+        dup = b.filter(keep)
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], 100000))
+        return pa.concat_tables([b, dup])
+
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    return _sort_single(fingerprint_dup_pairs(aug, "text", "doc_id"),
+                        ["d1", "d2"])
+
+
+SQL_Q20 = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2
+FROM aug a JOIN aug b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
 
 
 def q21_ivf_knn(sf_dir: str) -> Dataset:
@@ -1543,6 +1580,7 @@ ORACLE_SQL = {
     "q16_embed_knn": SQL_Q16,
     "q17_embed_neardup": SQL_Q17,
     "q18_minhash_neardup": SQL_Q18,
+    "q20_fingerprint_dedup": SQL_Q20,
     "q26_hashjoin_revenue": SQL_Q26,
     "q27_event_sessions": SQL_Q27,
     "q28_top_orders_per_segment": SQL_Q28,
@@ -1565,8 +1603,6 @@ ORACLE_SQL = {
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
     #       pinned in tests/test_dedup_similarity.py instead.
-    #   q20 fingerprint — winnowing min-hash not SQL-expressible; exact
-    #       grouping pinned vs a naive oracle in pytest.
     #   q21 IVF ANN — approximate by design; recall@k >= 0.9 vs the
     #       exact q16 pinned in pytest (test_ivf_recall_pin).
     #   q22/q23 flagship geocode/tiles — fixture page input (not a

@@ -146,6 +146,74 @@ def fingerprint_dedup(ds: Dataset, text_col: str, id_col: str,
                         "fingerprint", id_col, "n_members", keep_key=True)
 
 
+def fingerprint_dup_pairs(ds: Dataset, text_col: str, id_col: str,
+                          k: int = 3) -> Dataset:
+    """Exact-duplicate pairs via the winnowing-fingerprint PREFILTER:
+    candidate pairs form only inside a fingerprint bucket, then verify
+    by full-text hash equality. Identical texts always share the
+    fingerprint (same token stream -> same min window), so recall is
+    1.0 BY CONSTRUCTION — the output equals the SQL self-join on text
+    equality while the pair space shrinks from O(N^2) to the bucket
+    sums. Output: (d1, d2) sorted.
+    """
+    from batch_geocode_ray.functions.text import fingerprint_column
+
+    def to_fp(b: pa.Table) -> pa.Table:
+        fp = fingerprint_column(b[text_col], k=k).astype(np.int64)
+        th = stable_hash64_array(b[text_col]).astype(np.int64)
+        return pa.table({
+            "fingerprint": pa.array(fp, pa.int64()),
+            "_th": pa.array(th, pa.int64()),
+            id_col: b[id_col],
+        })
+
+    hashed, small = _probe_small(ds.map_batches(to_fp,
+                                                batch_format="pyarrow"))
+
+    def pairs_of(fp: np.ndarray, th: np.ndarray,
+                 ids: np.ndarray) -> pa.Table:
+        order = np.lexsort((ids, th, fp))
+        fp, th, ids = fp[order], th[order], ids[order]
+        # candidates share the fingerprint; verified pairs also share
+        # the text hash -> segment on (fp, th) runs
+        same = (fp[1:] == fp[:-1]) & (th[1:] == th[:-1])
+        bounds = np.concatenate([[0], np.nonzero(~same)[0] + 1, [len(fp)]])
+        d1s, d2s = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            seg = ids[s:e]
+            a, b_ = np.triu_indices(len(seg), k=1)
+            d1s.append(seg[a])
+            d2s.append(seg[b_])
+        if not d1s:
+            return pa.table({"d1": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        d1 = np.concatenate(d1s)
+        d2 = np.concatenate(d2s)
+        order2 = np.lexsort((d2, d1))
+        return pa.table({"d1": pa.array(d1[order2], pa.int64()),
+                         "d2": pa.array(d2[order2], pa.int64())})
+
+    def one(b: pa.Table) -> pa.Table:
+        return pairs_of(
+            np.asarray(b["fingerprint"].to_numpy(zero_copy_only=False)),
+            np.asarray(b["_th"].to_numpy(zero_copy_only=False)),
+            np.asarray(b[id_col].to_numpy(zero_copy_only=False)))
+
+    if small:
+        return _one_task(hashed, one)
+    # shuffle plan: co-locate each fingerprint bucket, emit inside
+    return (hashed.map_batches(
+        lambda b: b.append_column("_bucket", pa.array(
+            (np.asarray(b["fingerprint"].to_numpy(zero_copy_only=False))
+             .astype(np.uint64) % np.uint64(1024)).astype(np.int64))),
+        batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: one(g.drop_columns(["_bucket"])),
+                    batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact) via inverted-index join
 # ---------------------------------------------------------------------------

@@ -392,3 +392,31 @@ def test_media_queries_real_decode():
     aud = q25_audio_frames("unused").take_all()
     # frame energy of a 0.5-amplitude sine ~ 0.125
     assert all(abs(e - 0.125) < 0.01 for e in aud[0]["frame_energy"])
+
+
+def test_fingerprint_dup_pairs_both_plans(monkeypatch):
+    """Fingerprint-prefilter exact-dup pairs: equals the naive
+    text-equality join, in both the collapsed and shuffle plans."""
+    import batch_geocode_ray.stages.dedup as dd
+    from batch_geocode_ray.stages.dedup import fingerprint_dup_pairs
+
+    texts = ["same text here alpha beta gamma"] * 3 + [
+        "other content entirely different words",
+        "same text here alpha beta gamma delta",
+        "other content entirely different words",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(3)
+    want = sorted((i, j) for i in range(len(texts))
+                  for j in range(i + 1, len(texts))
+                  if texts[i] == texts[j])
+
+    def run():
+        return sorted((r["d1"], r["d2"]) for r in
+                      fingerprint_dup_pairs(ds, "text", "doc_id").take_all())
+
+    assert run() == want
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == want
