@@ -76,6 +76,17 @@ _STYLES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </styleSheet>"""
 
 
+_INVALID_XML = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f￾￿]")
+
+
+def _cell_text(v) -> str:
+    """XML 1.0 cannot represent most control characters at all (not
+    even escaped); replace them with U+FFFD like other writers
+    sanitize, so any string value round-trips to a parseable file."""
+    return escape(_INVALID_XML.sub("�", str(v)))
+
+
 def _col_letters(idx: int) -> str:
     """0-based column index -> A1-style letters."""
     out = ""
@@ -104,7 +115,7 @@ def write_xlsx(table: pa.Table, path_or_buf) -> None:
 
     rows_xml = []
     header_cells = "".join(
-        f'<c r="{_col_letters(j)}1" t="inlineStr"><is><t>{escape(str(c))}'
+        f'<c r="{_col_letters(j)}1" t="inlineStr"><is><t>{_cell_text(c)}'
         f"</t></is></c>" for j, c in enumerate(cols))
     rows_xml.append(f'<row r="1">{header_cells}</row>')
     for i in range(table.num_rows):
@@ -120,7 +131,7 @@ def write_xlsx(table: pa.Table, path_or_buf) -> None:
                 continue  # NaN -> empty cell, like a null
             else:
                 cells.append(f'<c r="{ref}" t="inlineStr"><is><t>'
-                             f"{escape(str(v))}</t></is></c>")
+                             f"{_cell_text(v)}</t></is></c>")
         rows_xml.append(f'<row r="{i + 2}">{"".join(cells)}</row>')
 
     sheet = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
