@@ -182,14 +182,20 @@ def hopping_window_rows(ds: Dataset, ts_col: str, value_cols: list[str],
 
 def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
                  tie_col: str, k: int,
-                 extra_cols: list[str] | None = None) -> Dataset:
+                 extra_cols: list[str] | None = None,
+                 merge: str = "single") -> Dataset:
     """Top-k rows per group by ``sort_col`` DESC (ties: ``tie_col``
     ASC), with a 1-based ``rank`` column — the distributed form of the
     reference's per-source top-N (query_funcs.py:376).
 
-    Per-batch partial top-k bounds what the merge sees; the final
-    global merge runs in one task (requires k x n_groups small — the
-    summary-query case; use a groupby merge for huge group counts).
+    Per-batch partial top-k bounds what any merge sees to
+    k x n_groups x n_blocks rows. ``merge``:
+      * ``"single"`` — one final task (the summary case: few groups);
+      * ``"shuffle"`` — coarse-bucketed groupby merge for HUGE group
+        counts (per-url top-k at 10^12 rows): groups hash into ~1k
+        buckets so the Python group hook runs per bucket, and segments
+        inside the bucket are ranked vectorized. No single task ever
+        holds all groups.
     """
     cols = [group_col, sort_col, tie_col] + (extra_cols or [])
     cols = list(dict.fromkeys(cols))
@@ -216,6 +222,30 @@ def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
         rank = np.arange(len(g)) - start + 1
         return b.append_column("rank", pa.array(rank, pa.int64()))
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(final, batch_format="pyarrow", batch_size=None))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if merge == "single":
+        return partials.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        col = b[group_col]
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            h = np.asarray(col.to_numpy(zero_copy_only=False)
+                           ).astype(np.uint64)
+        else:
+            from batch_geocode_ray.functions.hashing import (
+                stable_hash64_array,
+            )
+
+            h = stable_hash64_array(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+        return b.append_column("_bucket", pa.array(
+            (splitmix64(h) % np.uint64(1024)).astype(np.int64)))
+
+    def final_bucket(g: pa.Table) -> pa.Table:
+        return final(g.drop_columns(["_bucket"]))
+
+    return (partials.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(final_bucket, batch_format="pyarrow"))

@@ -107,3 +107,27 @@ def test_salted_groupby_pyarrow_default_preserves_int64_cells():
     rows = dict(zip(tbl["cell"].to_pylist(), tbl["sum_v"].to_pylist()))
     assert rows == {int(big): 3.0, int(big) + 1: 3.0}
     assert tbl.schema.field("cell").type == pa.int64()
+
+
+def test_grouped_topk_merge_plans_agree():
+    """grouped_topk: the single-task merge and the coarse-bucketed
+    shuffle merge (for huge group counts) must give identical rows."""
+    import ray.data as rd2
+
+    from batch_geocode_ray.stages.windows import grouped_topk
+
+    rng = np.random.RandomState(11)
+    t = pa.table({
+        "g": pa.array(rng.randint(0, 40, 3000), pa.int64()),
+        "v": pa.array(rng.uniform(0, 100, 3000)),
+        "id": pa.array(np.arange(3000), pa.int64()),
+    })
+    ds = rd2.from_arrow(t).repartition(5)
+
+    def run(merge):
+        return sorted((r["g"], r["rank"], r["id"]) for r in grouped_topk(
+            ds, "g", "v", "id", k=3, merge=merge).take_all())
+
+    single = run("single")
+    shuffle = run("shuffle")
+    assert single == shuffle and len(single) == 40 * 3
