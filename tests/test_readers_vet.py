@@ -212,3 +212,51 @@ def test_write_reference_output_xlsx(tmp_path):
     assert n == 1
     t = read_xlsx(out)
     assert t.column_names[0] == "url" and "best_name" in t.column_names
+
+
+def test_xlsx_property_round_trip():
+    """Hypothesis: any (string|float) table round-trips through the
+    stdlib OOXML writer/reader (strings modulo the documented
+    XML-invalid-char sanitization; float64 exactly via repr)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import io
+    import math
+    import re
+
+    import pyarrow as pa
+
+    from batch_geocode_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    _invalid = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f￾￿]")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        strs=st.lists(st.one_of(st.none(), st.text(max_size=20)),
+                      min_size=1, max_size=8),
+        base=st.floats(allow_nan=False, allow_infinity=False,
+                       width=64, min_value=-1e12, max_value=1e12),
+    )
+    def roundtrip(strs, base):
+        strs = strs + ["not-a-number"]  # pin the column to string
+        # (the reader infers float64 when EVERY cell parses numeric)
+        n = len(strs)
+        floats = [base + i for i in range(n)]
+        t = pa.table({
+            "s": pa.array(strs, pa.string()),
+            "f": pa.array(floats, pa.float64()),
+        })
+        buf = io.BytesIO()
+        write_xlsx(t, buf)
+        back = read_xlsx(buf.getvalue())
+        want_s = [None if (v is None or v == "")
+                  else _invalid.sub("�", v) for v in strs]
+        got_s = back["s"].to_pylist() if "s" in back.column_names else []
+        # empty strings become empty cells -> read back as null
+        assert got_s == want_s
+        got_f = back["f"].to_pylist()
+        for g, w in zip(got_f, floats):
+            assert g is not None and (g == w or math.isclose(g, w))
+
+    roundtrip()
