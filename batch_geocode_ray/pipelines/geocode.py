@@ -188,7 +188,25 @@ def build_geocode_pipeline(pages_path: str | list[str],
         lang_cc_prior = LANG_CC_PRIOR
     gaz_ref = ray.put(gaz_index)
 
-    ds = rd.read_parquet(pages_path,
+    # prune at the read: the oracle `text` column is recomputed from
+    # `html` and only needed when verifying extraction — skipping it
+    # cuts ~30% of input decode + object-store bytes
+    read_cols = None
+    try:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        first = pages_path if isinstance(pages_path, str) else pages_path[0]
+        if _os.path.isdir(first):
+            first = sorted(_glob.glob(_os.path.join(first, "*.parquet")))[0]
+        names = _pq.read_schema(first).names
+        if "text" in names and not verify_extraction:
+            read_cols = [c for c in names if c != "text"]
+    except (OSError, IndexError):
+        pass
+    ds = rd.read_parquet(pages_path, columns=read_cols,
                          override_num_blocks=_read_num_blocks(pages_path))
 
     if fused:
