@@ -83,8 +83,10 @@ _INVALID_XML = re.compile(
 def _cell_text(v) -> str:
     """XML 1.0 cannot represent most control characters at all (not
     even escaped); replace them with U+FFFD like other writers
-    sanitize, so any string value round-trips to a parseable file."""
-    return escape(_INVALID_XML.sub("�", str(v)))
+    sanitize, so any string value round-trips to a parseable file.
+    Carriage returns go out as numeric references — XML parsers
+    normalize literal \\r to \\n on input."""
+    return escape(_INVALID_XML.sub("�", str(v)), {"\r": "&#13;"})
 
 
 def _col_letters(idx: int) -> str:
