@@ -1510,6 +1510,72 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q45_vet_mark_best(sf_dir: str) -> Dataset:
+    """The vet UI's markBest rule (reference vet.html:131-147) under a
+    SQL oracle: both engines synthesize the same wide two-source table
+    from customers, pick a per-row source (GM1 for even keys, OSM1 for
+    odd), and must agree on the composite best_* columns — including
+    the nameless-source rule (every 5th OSM name is null ->
+    best_name = the bare source string)."""
+    from batch_geocode_ray.pipelines.vet import mark_best
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def build_and_mark(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = np.asarray(b["c_custkey"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        bal = np.asarray(b["c_acctbal"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        osm_name = pc.if_else(
+            pa.array(key % 5 == 0),
+            pa.nulls(n, pa.string()),
+            pc.binary_join_element_wise(b["c_name"],
+                                        pa.array([" (osm)"] * n), ""))
+        wide = pa.table({
+            "c_custkey": b["c_custkey"],
+            "GM1_name": b["c_name"],
+            "GM1_type": pa.array(["city"] * n),
+            "GM1_lat": pa.array(bal / 100.0),
+            "GM1_long": pa.array(bal / 200.0),
+            "GM1_buffer": pa.array(np.full(n, 1.5)),
+            "OSM1_name": osm_name,
+            "OSM1_type": pa.array(["node"] * n),
+            "OSM1_lat": pa.array(bal / 300.0),
+            "OSM1_long": pa.array(bal / 400.0),
+            "OSM1_buffer": pa.array(np.full(n, 0.5)),
+        })
+        src = pa.array(np.where(key % 2 == 0, "GM1", "OSM1"))
+        out = mark_best(wide, src)
+        return out.select(["c_custkey", "best_name", "best_type",
+                           "best_lat", "best_long", "best_buffer"])
+
+    return cust.map_batches(build_and_mark, batch_format="pyarrow")
+
+
+SQL_Q45 = """
+WITH wide AS (
+  SELECT c_custkey,
+         c_name AS gm_name, c_acctbal / 100.0 AS gm_lat,
+         c_acctbal / 200.0 AS gm_long,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE c_name || ' (osm)' END AS osm_name,
+         c_acctbal / 300.0 AS osm_lat, c_acctbal / 400.0 AS osm_long,
+         CASE WHEN c_custkey % 2 = 0 THEN 'GM1' ELSE 'OSM1' END AS src
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN src = 'GM1' THEN gm_name || ' (from GM1)'
+            WHEN osm_name IS NULL THEN 'OSM1'
+            ELSE osm_name || ' (from OSM1)' END AS best_name,
+       CASE WHEN src = 'GM1' THEN 'city' ELSE 'node' END AS best_type,
+       CASE WHEN src = 'GM1' THEN gm_lat ELSE osm_lat END AS best_lat,
+       CASE WHEN src = 'GM1' THEN gm_long ELSE osm_long END AS best_long,
+       CASE WHEN src = 'GM1' THEN 1.5 ELSE 0.5 END AS best_buffer
+FROM wide ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1559,6 +1625,7 @@ QUERIES = {
     "q42_signup_followup_counts": q42_signup_followup_counts,
     "q43_user_moving_avg": q43_user_moving_avg,
     "q44_price_quantile_sketch": q44_price_quantile_sketch,
+    "q45_vet_mark_best": q45_vet_mark_best,
 }
 
 ORACLE_SQL = {
@@ -1599,6 +1666,7 @@ ORACLE_SQL = {
     "q42_signup_followup_counts": SQL_Q42,
     "q43_user_moving_avg": SQL_Q43,
     "q44_price_quantile_sketch": SQL_Q44,
+    "q45_vet_mark_best": SQL_Q45,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
