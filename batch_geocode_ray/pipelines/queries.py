@@ -1352,8 +1352,9 @@ def q41_url_canonical(sf_dir: str) -> Dataset:
             "domain": registered_domain_of(url),
         })
 
-    return _sort_single(docs.map_batches(f, batch_format="pyarrow"),
-                        ["doc_id"])
+    # one output row per document -> distributed sort (a single-task
+    # sort would concentrate O(N) rows at 10^12 docs)
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
 # the same regex ladder as functions/urls.py, spelled in DuckDB (RE2;
@@ -1447,7 +1448,8 @@ def q43_user_moving_avg(sf_dir: str) -> Dataset:
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = grouped_moving_avg(ev, "user_id", "ts", "event_id", "value",
                              window_rows=7)
-    return _sort_single(_round_cols(out, {"mov_avg": 4}), ["event_id"])
+    # one output row per event -> distributed sort, not a 1-task merge
+    return _round_cols(out, {"mov_avg": 4}).sort("event_id")
 
 
 SQL_Q43 = f"""
