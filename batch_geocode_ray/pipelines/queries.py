@@ -766,9 +766,10 @@ def q27_event_sessions(sf_dir: str) -> Dataset:
                      gap_seconds=1800.0)
     # sessionize emits rows grouped by the coarse user bucket; the
     # oracle ends ORDER BY user_id, session_n and the driver hash is
-    # row-order-sensitive -> single-task final sort (tiny result).
-    return _sort_single(_round_cols(out, {"sum_value": 4}),
-                        ["user_id", "session_n"])
+    # row-order-sensitive. Sessions are O(events) worst-case, so the
+    # ordering is a distributed sort, not a single-task merge.
+    return _round_cols(out, {"sum_value": 4}).sort(
+        ["user_id", "session_n"])
 
 
 SQL_Q27 = """
@@ -1022,8 +1023,8 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
                                 k=3, threshold=0.8)
     cleaned = semi_anti_join(step1, pairs, "doc_id", right_key="d2",
                              anti=True)
-    return _sort_single(cleaned.select_columns(["doc_id", "n_tokens"]),
-                        ["doc_id"])
+    # survivors are O(docs): distributed final sort
+    return cleaned.select_columns(["doc_id", "n_tokens"]).sort("doc_id")
 
 
 SQL_Q34 = f"""
