@@ -50,6 +50,21 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return problems
     for c in g.columns:
         gv, wv = g[c], w[c]
+        # The driver's value hash is byte-level: an int64 column vs a
+        # float64/decimal oracle column hashes differently even when
+        # every value compares equal (1 == 1.0). Flag the dtype-kind
+        # mismatch so the local gate sees what the driver hash sees
+        # (round-2 q27 lesson: DuckDB window-sum returns HUGEINT).
+        g_num = pd.api.types.is_numeric_dtype(gv)
+        w_num = pd.api.types.is_numeric_dtype(wv)
+        if g_num and w_num:
+            g_float = pd.api.types.is_float_dtype(gv)
+            w_float = pd.api.types.is_float_dtype(wv)
+            if g_float != w_float:
+                problems.append(
+                    f"col {c}: dtype kind mismatch {gv.dtype} vs {wv.dtype} "
+                    "(values may compare equal but the driver hash differs "
+                    "— CAST the oracle or engine side)")
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
             a = gv.astype(float).to_numpy()
             b = wv.astype(float).to_numpy()
