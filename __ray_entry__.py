@@ -32,6 +32,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from batch_geocode_ray.pipelines.queries import ORACLE_SQL
+    from batch_geocode_ray.pipelines.queries import ORACLE_SQL, _flagship_dir
 
+    # q46-q48 oracle SQL reads the deterministic page fixture by parquet
+    # path; make sure it exists even if the oracle runs before the query.
+    _flagship_dir()
     return dict(ORACLE_SQL)

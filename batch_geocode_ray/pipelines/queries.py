@@ -1581,6 +1581,210 @@ FROM wide ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# flagship driver-gated slices (q46-q48): the geocode pipeline's
+# SQL-expressible slice under a FULL DuckDB oracle. The page fixture is
+# deterministic parquet on disk (sources/fixtures.py), so the oracle SQL
+# reads it by path; `queries()` callables and `__ray_entry__.oracle_sql`
+# both ensure it exists first. The fixture's stored `text` column is the
+# single-process oracle extraction of `html`, while the engine recomputes
+# text from html — so a q46 match also re-verifies extraction end to end.
+# Semantics oracled: matcher (token-window phrase match), country filter
+# (lang->cc prior, keep-unsure), per-(page,source) top-N by population
+# DESC / gid ASC, buffer vetting, pooled composite best (reference
+# WebGeocodingManager.vet, query_funcs.py:193-219), kNN facility (q47),
+# and the tile-aggregate fork (q48, raster key — the hex-cell key stays
+# pytest-pinned since aperture-7 hex math is not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_N = 3000
+
+
+def _flagship_dir() -> str:
+    from batch_geocode_ray.sources.fixtures import ensure_fixture_dir
+
+    return ensure_fixture_dir(_FLAGSHIP_N)
+
+
+def _flagship_pipeline(with_knn: bool = False) -> Dataset:
+    from batch_geocode_ray.pipelines.geocode import build_geocode_pipeline
+    from batch_geocode_ray.sources.fixtures import generate_world
+
+    d = _flagship_dir()
+    world = generate_world()
+    return build_geocode_pipeline(
+        f"{d}/pages", world.gazetteer,
+        facilities=world.facilities if with_knn else None,
+        with_knn=with_knn)
+
+
+def q46_geocode_best(sf_dir: str) -> Dataset:
+    ds = _flagship_pipeline().select_columns(
+        ["url", "lang", "best_name", "best_type",
+         "best_lat", "best_long", "best_buffer"])
+    return _round_cols(ds, {"best_lat": 4, "best_long": 4,
+                            "best_buffer": 4}).sort("url")
+
+
+def q47_geocode_knn(sf_dir: str) -> Dataset:
+    def first_nn(b: pa.Table) -> pa.Table:
+        ids = b["knn_ids"].combine_chunks()
+        has = pc.greater(pc.list_value_length(ids), 0)
+        t = b.filter(has)
+        ids = t["knn_ids"].combine_chunks()
+        dists = t["knn_dists"].combine_chunks()
+        return pa.table({
+            "url": t["url"],
+            "nn_facility_id": pc.list_element(ids, 0) if t.num_rows
+            else pa.array([], pa.int64()),
+            "nn_km": pc.list_element(dists, 0) if t.num_rows
+            else pa.array([], pa.float64()),
+        })
+
+    ds = _flagship_pipeline(with_knn=True).map_batches(
+        first_nn, batch_format="pyarrow")
+    return _round_cols(ds, {"nn_km": 4}).sort("url")
+
+
+def q48_tile_raster(sf_dir: str) -> Dataset:
+    from batch_geocode_ray.stages.aggregates import tile_aggregate
+
+    def add_cell(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["best_lat"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lon = np.asarray(b["best_long"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        ok = ~np.isnan(lat)
+        t = b.filter(pa.array(ok))
+        cell = (np.floor(lat[ok]).astype(np.int64) * 360
+                + np.floor(lon[ok]).astype(np.int64))
+        return t.append_column("raster_cell", pa.array(cell, pa.int64()))
+
+    ds = _flagship_pipeline().map_batches(add_cell, batch_format="pyarrow")
+    out = tile_aggregate(ds, "raster_cell", merge="single")
+    return _round_cols(out, {"mean_buffer": 4, "min_buffer": 4,
+                             "max_buffer": 4})
+
+
+def _sql_hav(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Haversine km, term-for-term the NumPy kernel (functions/geo.py:23):
+    radians first, then subtract; clip into [0,1] before asin(sqrt)."""
+    return (
+        f"2.0 * 6371.0088 * asin(sqrt(least(1.0, greatest(0.0, "
+        f"pow(sin((radians({lat2}) - radians({lat1})) * 0.5), 2) "
+        f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin((radians({lon2}) - radians({lon1})) * 0.5), 2)))))")
+
+
+def _flagship_fixture_path() -> str:
+    from batch_geocode_ray.sources.fixtures import fixture_dir_path
+
+    return fixture_dir_path(_FLAGSHIP_N)
+
+
+def _flagship_cte() -> str:
+    from batch_geocode_ray.sources.fixtures import LANG_CC_PRIOR
+
+    d = _flagship_fixture_path()
+    prior_rows = ", ".join(
+        f"('{lang}', '{cc}')"
+        for lang in sorted(LANG_CC_PRIOR)
+        for cc in sorted(LANG_CC_PRIOR[lang]))
+    entry_buf = _sql_hav("bb_w", "bb_s", "bb_e", "bb_n")
+    pooled_buf = _sql_hav("min_lon", "min_lat", "max_lon", "max_lat")
+    return f"""
+WITH pages AS (
+  SELECT url, lang,
+         ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '
+             AS norm
+  FROM '{d}/pages/*.parquet'
+), gaz AS (
+  SELECT gazetteer_id, lat, lon, bb_n, bb_s, bb_e, bb_w, cc,
+         population, source,
+         trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS phrase,
+         (bb_n IS NOT NULL) AS has_box,
+         CASE WHEN bb_n IS NOT NULL THEN {entry_buf} ELSE 0.0 END AS buffer
+  FROM '{d}/gazetteer.parquet'
+), prior(p_lang, p_cc) AS (VALUES {prior_rows}),
+cand AS (
+  SELECT p.url, g.*
+  FROM pages p JOIN gaz g ON p.norm LIKE '% ' || g.phrase || ' %'
+  WHERE g.cc IS NULL
+     OR p.lang NOT IN (SELECT DISTINCT p_lang FROM prior)
+     OR EXISTS (SELECT 1 FROM prior
+                WHERE p_lang = p.lang AND p_cc = g.cc)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url, source
+                               ORDER BY population DESC, gazetteer_id) AS rn
+  FROM cand
+), survivors AS (
+  SELECT * FROM ranked WHERE rn <= 2 AND buffer <= 15.0
+), pooled AS (
+  SELECT url,
+         count(*) AS num_valid,
+         sum(CASE WHEN has_box THEN bb_w + bb_e ELSE lon END) AS sum_lon,
+         sum(CASE WHEN has_box THEN bb_s + bb_n ELSE lat END) AS sum_lat,
+         sum(CASE WHEN has_box THEN 2.0 ELSE 1.0 END) AS n_pts,
+         min(CASE WHEN has_box THEN bb_w ELSE lon END) AS min_lon,
+         min(CASE WHEN has_box THEN bb_s ELSE lat END) AS min_lat,
+         max(CASE WHEN has_box THEN bb_e ELSE lon END) AS max_lon,
+         max(CASE WHEN has_box THEN bb_n ELSE lat END) AS max_lat
+  FROM survivors GROUP BY url
+), best AS (
+  SELECT url, num_valid,
+         sum_lon / n_pts AS b_lon, sum_lat / n_pts AS b_lat,
+         {pooled_buf} AS b_buf
+  FROM pooled
+)"""
+
+
+def _sql_q46() -> str:
+    return _flagship_cte() + f"""
+SELECT p.url, p.lang,
+       CASE WHEN b.b_buf <= 15.0 THEN 'Vetted' END AS best_name,
+       CASE WHEN b.b_buf <= 15.0
+            THEN 'Composite of ' || b.num_valid || ' geocoded locations'
+       END AS best_type,
+       CASE WHEN b.b_buf <= 15.0 THEN {_sql_fixed('b.b_lat')} END AS best_lat,
+       CASE WHEN b.b_buf <= 15.0 THEN {_sql_fixed('b.b_lon')} END AS best_long,
+       CASE WHEN b.b_buf <= 15.0 THEN {_sql_fixed('b.b_buf')} END AS best_buffer
+FROM pages p LEFT JOIN best b ON b.url = p.url
+ORDER BY p.url
+"""
+
+
+def _sql_q47() -> str:
+    d = _flagship_fixture_path()
+    hav = _sql_hav("b.b_lon", "b.b_lat", "f.lon", "f.lat")
+    return _flagship_cte() + f"""
+, dists AS (
+  SELECT b.url, f.facility_id, {hav} AS d
+  FROM best b CROSS JOIN '{d}/facilities.parquet' f
+  WHERE b.b_buf <= 15.0
+), nn AS (
+  SELECT url, facility_id, d,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY d, facility_id) AS rn
+  FROM dists
+)
+SELECT url, facility_id AS nn_facility_id, {_sql_fixed('d')} AS nn_km
+FROM nn WHERE rn = 1 ORDER BY url
+"""
+
+
+def _sql_q48() -> str:
+    return _flagship_cte() + f"""
+SELECT CAST(floor(b_lat) AS BIGINT) * 360 + CAST(floor(b_lon) AS BIGINT)
+           AS raster_cell,
+       count(*) AS pages,
+       {_sql_fixed('avg(b_buf)')} AS mean_buffer,
+       {_sql_fixed('min(b_buf)')} AS min_buffer,
+       {_sql_fixed('max(b_buf)')} AS max_buffer
+FROM best WHERE b_buf <= 15.0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1630,6 +1834,9 @@ QUERIES = {
     "q43_user_moving_avg": q43_user_moving_avg,
     "q44_price_quantile_sketch": q44_price_quantile_sketch,
     "q45_vet_mark_best": q45_vet_mark_best,
+    "q46_geocode_best": q46_geocode_best,
+    "q47_geocode_knn": q47_geocode_knn,
+    "q48_tile_raster": q48_tile_raster,
 }
 
 ORACLE_SQL = {
@@ -1671,15 +1878,21 @@ ORACLE_SQL = {
     "q43_user_moving_avg": SQL_Q43,
     "q44_price_quantile_sketch": SQL_Q44,
     "q45_vet_mark_best": SQL_Q45,
+    "q46_geocode_best": _sql_q46(),
+    "q47_geocode_knn": _sql_q47(),
+    "q48_tile_raster": _sql_q48(),
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
     #       pinned in tests/test_dedup_similarity.py instead.
     #   q21 IVF ANN — approximate by design; recall@k >= 0.9 vs the
     #       exact q16 pinned in pytest (test_ivf_recall_pin).
-    #   q22/q23 flagship geocode/tiles — fixture page input (not a
-    #       driver-registered view); full pipeline parity is pinned
-    #       against the single-process oracle in tests/oracle.py.
+    #   q22/q23 flagship geocode/tiles — the FULL wide output incl.
+    #       hex/s2 cells and PIP admin columns (custom cell math and
+    #       point-in-polygon are not SQL-expressible); parity is pinned
+    #       against the single-process oracle in tests/oracle.py, and
+    #       the SQL-expressible slice of the same pipeline IS fully
+    #       driver-oracled by q46 (best_*), q47 (kNN), q48 (tile fork).
     #   q24/q25 multimodal — decode is an honest stub (no codec libs in
     #       the sandbox); plumbing is deterministic and pytest-pinned.
     #   q35 k-means — iterative/fixpoint, not SQL-expressible;

@@ -305,13 +305,22 @@ def generate_pages(out_dir: str, n_pages: int, seed: int = 42,
             for sh, st, ct in spans]
 
 
+_FIXTURE_VERSION = "v2"  # v2: 5k-row shards (read parallelism), parallel gen
+
+
+def fixture_dir_path(n_pages: int, seed: int = 42,
+                     base: str = "/tmp/bgr_fixtures") -> str:
+    """Deterministic fixture directory path WITHOUT generating — used to
+    bake parquet paths into static oracle SQL strings."""
+    return os.path.join(base, f"{_FIXTURE_VERSION}-seed{seed}-n{n_pages}")
+
+
 def ensure_fixture_dir(n_pages: int, seed: int = 42,
                        base: str = "/tmp/bgr_fixtures") -> str:
     """Generate (once, cached) a fixture directory with pages/ shards and
     the world tables; keyed by (n_pages, seed, generator version).
     """
-    version = "v2"  # v2: 5k-row shards (read parallelism), parallel gen
-    d = os.path.join(base, f"{version}-seed{seed}-n{n_pages}")
+    d = fixture_dir_path(n_pages, seed, base)
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
