@@ -329,17 +329,30 @@ def heavy_hitters(ds, col: str, k: int = 16) -> list[tuple]:
     """Distributed Misra-Gries: items with frequency > n/k are
     guaranteed present; reported counts under-count by at most n/k.
     Returns [(item, lower_bound_count)] sorted by count desc."""
+    return heavy_hitters_with_total(ds, col, k)[0]
+
+
+def heavy_hitters_with_total(ds, col: str, k: int = 16) -> tuple[list, int]:
+    """Misra-Gries candidates AND the total row count from ONE input
+    scan (each batch partial carries its row count alongside the
+    summary, so the n/k threshold needs no separate ``ds.count()``
+    pass). Returns ([(item, lower_bound_count)] sorted desc, n_total)."""
     import json
 
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
         summ = mg_partial(b[col], k)
-        return pa.table({"summ": pa.array([json.dumps(summ)], pa.string())})
+        return pa.table({
+            "summ": pa.array([json.dumps(summ)], pa.string()),
+            "n": pa.array([b.num_rows], pa.int64()),
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    summaries = [json.loads(s)
-                 for t in (ray.get(r) for r in parts.to_arrow_refs())
-                 for s in t["summ"].to_pylist()]
+    summaries: list[dict] = []
+    n_total = 0
+    for t in (ray.get(r) for r in parts.to_arrow_refs()):
+        summaries.extend(json.loads(s) for s in t["summ"].to_pylist())
+        n_total += sum(t["n"].to_pylist())
     merged = mg_merge(summaries, k) if summaries else {}
-    return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    return (sorted(merged.items(), key=lambda kv: (-kv[1], kv[0])), n_total)

@@ -1166,25 +1166,60 @@ FROM u GROUP BY domain ORDER BY domain
 """
 
 
-def _distinct_count_exact(ds: Dataset, col: str) -> int:
-    """Distributed exact COUNT(DISTINCT col): per-batch unique-hash
-    partials (only 8-byte hashes shuffle), groupby(hash), count rows.
-    The driver receives one integer."""
-    from batch_geocode_ray.functions.hashing import stable_hash64_array
+def _distinct_exact_and_hll(ds: Dataset, col: str, p: int = 12
+                            ) -> tuple[int, float]:
+    """Exact COUNT(DISTINCT col) AND the HLL estimate from ONE input
+    scan: per-batch unique 64-bit hashes shuffle into a groupby(hash);
+    each post-shuffle block of distinct hashes then emits (its row
+    count, its HLL register partial) — the driver sums the disjoint
+    counts and max-merges n_blocks x 4 KB of registers. Integer keys go
+    through the bijective splitmix64 finalizer so the registers see
+    uniform bits while the distinct count is unchanged; strings use the
+    same stable 64-bit hash as before (collisions ~n^2/2^64,
+    negligible)."""
     from ray.data.aggregate import Count as _Count
+
+    from batch_geocode_ray.functions.hashing import (
+        splitmix64,
+        stable_hash64_array,
+    )
+    from batch_geocode_ray.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
 
     def to_h(b: pa.Table) -> pa.Table:
         col_a = b[col].combine_chunks() if isinstance(
             b[col], pa.ChunkedArray) else b[col]
         if pa.types.is_integer(col_a.type):
-            h = np.unique(np.asarray(col_a.to_numpy(zero_copy_only=False),
+            v = np.unique(np.asarray(col_a.to_numpy(zero_copy_only=False),
                                      dtype=np.int64))
+            h = splitmix64(v.astype(np.uint64)).astype(np.int64)
         else:
             h = np.unique(stable_hash64_array(col_a).astype(np.int64))
         return pa.table({"_h": pa.array(h, pa.int64())})
 
-    return (ds.map_batches(to_h, batch_format="pyarrow")
-            .groupby("_h").aggregate(_Count(alias_name="_c")).count())
+    def block_summary(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["_h"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        regs = hll_partial(h.astype(np.uint64), p)
+        return pa.table({
+            "n": pa.array([len(h)], pa.int64()),
+            "regs": pa.array([regs.tobytes()], pa.binary()),
+        })
+
+    parts = (ds.map_batches(to_h, batch_format="pyarrow")
+             .groupby("_h").aggregate(_Count(alias_name="_c"))
+             .map_batches(block_summary, batch_format="pyarrow"))
+    exact = 0
+    regs: list[np.ndarray] = []
+    for t in (ray.get(r) for r in parts.to_arrow_refs()):
+        exact += sum(t["n"].to_pylist())
+        regs.extend(np.frombuffer(r, dtype=np.uint8)
+                    for r in t["regs"].to_pylist())
+    est = hll_estimate(hll_merge(regs)) if regs else 0.0
+    return exact, est
 
 
 def q37_distinct_urls_hll(sf_dir: str) -> Dataset:
@@ -1192,18 +1227,17 @@ def q37_distinct_urls_hll(sf_dir: str) -> Dataset:
     distributed distinct count: the query emits the EXACT count (SQL-
     computable) plus a boolean asserting the HLL estimate (p=12,
     σ≈1.6%) lands within 5% — so the driver hash gate verifies both
-    the exact pipeline and the sketch's accuracy in one query."""
+    the exact pipeline and the sketch's accuracy in one query. Each
+    input is scanned ONCE (exact + sketch partials fused; two scans
+    total for the two inputs)."""
     import ray.data as rd_
-
-    from batch_geocode_ray.functions.sketches import hll_count_distinct
 
     docs = _read(sf_dir, "documents", ["text"])
     ev = _read(sf_dir, "events", ["user_id"])
     rows = []
     for metric, dset, col in (("distinct_texts", docs, "text"),
                               ("distinct_users", ev, "user_id")):
-        exact = _distinct_count_exact(dset, col)
-        est = hll_count_distinct(dset, col)
+        exact, est = _distinct_exact_and_hll(dset, col)
         ok = exact > 0 and abs(est - exact) / exact <= 0.05
         rows.append((metric, exact, ok))
     return rd_.from_arrow(pa.table({
@@ -1231,14 +1265,15 @@ def q38_heavy_hitters(sf_dir: str) -> Dataset:
     filter + grouped count) and keeping those above n/k reproduces the
     SQL GROUP BY ... HAVING count > n/k answer exactly — the
     sketch prunes 10^12 rows to k candidates, the recount restores
-    exactness."""
-    from batch_geocode_ray.functions.sketches import heavy_hitters
+    exactness. Two input scans total: MG summary + row count come from
+    one fused pass; the candidate recount is the second."""
+    from batch_geocode_ray.functions.sketches import heavy_hitters_with_total
     from batch_geocode_ray.stages.joins import broadcast_semi_anti
 
     k = 16
     ev = _read(sf_dir, "events", ["event_type"])
-    n_total = ev.count()
-    cand = [item for item, _ in heavy_hitters(ev, "event_type", k=k)]
+    hh, n_total = heavy_hitters_with_total(ev, "event_type", k=k)
+    cand = [item for item, _ in hh]
     filtered = broadcast_semi_anti(ev, pa.array(cand, pa.string()),
                                    "event_type")
     agg = grouped_aggregate(
