@@ -134,7 +134,14 @@ def _read_num_blocks(paths) -> int | None:
             return None
     except OSError:
         return None
-    return max(3 * cpus, total // (32 << 20))
+    blocks = total // (32 << 20)
+    if blocks >= 3 * cpus:
+        return blocks
+    # Small input: the 3-tasks/CPU floor would slice it into sub-MB
+    # blocks whose fixed task overhead dominates (measured q22 at 30k
+    # pages/14MB: 96 blocks ran 1.6s vs ~0.9s at ~1MB blocks). Keep
+    # blocks >= ~1MB; tiny inputs then run fewer-but-meatier tasks.
+    return max(1, min(3 * cpus, total // (1 << 20)))
 
 
 # Per-worker soft-state cache for the task-mode fused stage. Ray worker

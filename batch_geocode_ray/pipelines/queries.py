@@ -1209,9 +1209,25 @@ def _distinct_exact_and_hll(ds: Dataset, col: str, p: int = 12
             "regs": pa.array([regs.tobytes()], pa.binary()),
         })
 
-    parts = (ds.map_batches(to_h, batch_format="pyarrow")
-             .groupby("_h").aggregate(_Count(alias_name="_c"))
-             .map_batches(block_summary, batch_format="pyarrow"))
+    from batch_geocode_ray.stages.dedup import _one_task, _probe_small
+
+    hashed, small = _probe_small(ds.map_batches(to_h, batch_format="pyarrow"))
+    if small:
+        # skip the groupby all-to-all (~1-2s fixed): one task unions the
+        # per-batch-unique hashes and emits count + registers directly
+        def union_summary(b: pa.Table) -> pa.Table:
+            h = np.unique(np.asarray(b["_h"].to_numpy(zero_copy_only=False),
+                                     dtype=np.int64))
+            regs = hll_partial(h.astype(np.uint64), p)
+            return pa.table({
+                "n": pa.array([len(h)], pa.int64()),
+                "regs": pa.array([regs.tobytes()], pa.binary()),
+            })
+
+        parts = _one_task(hashed, union_summary)
+    else:
+        parts = (hashed.groupby("_h").aggregate(_Count(alias_name="_c"))
+                 .map_batches(block_summary, batch_format="pyarrow"))
     exact = 0
     regs: list[np.ndarray] = []
     for t in (ray.get(r) for r in parts.to_arrow_refs()):

@@ -98,15 +98,31 @@ def knn_cosine(ds: Dataset, vec_col: str, id_col: str,
         })
 
     return _merge_partial_topk(
-        ds.map_batches(partial_topk, batch_format="pyarrow"), k)
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k,
+        n_queries=qm.shape[0])
 
 
-def _merge_partial_topk(partials: Dataset, k: int) -> Dataset:
-    """Final per-query top-k over the partials in ONE task: the
-    partials total k x n_queries x n_blocks tiny rows, so a
-    groupby(query_id) all-to-all (~1-2s fixed) is pure overhead —
-    route them to a single task and segment with a lexsort. Output
-    ordered (query_id, rank), the oracle order."""
+# Above this many queries, the partials (k x Q x n_blocks rows) stop
+# being "tiny" and the single-task merge would concentrate them on one
+# worker — switch to the bucketed shuffle merge instead.
+SHUFFLE_MERGE_QUERIES = 10_000
+
+
+def _merge_partial_topk(partials: Dataset, k: int,
+                        n_queries: int | None = None) -> Dataset:
+    """Final per-query top-k over the partials.
+
+    Small query sets (the common broadcast-kNN case): ONE task — the
+    partials total k x Q x n_blocks tiny rows, so a groupby(query_id)
+    all-to-all (~1-2s fixed) is pure overhead; route them to a single
+    task and segment with a lexsort. Output ordered (query_id, rank),
+    the oracle order.
+
+    Large query sets (Q > SHUFFLE_MERGE_QUERIES, e.g. per-doc queries):
+    coarse-bucket by ``query_id % 1024`` and merge per bucket in
+    parallel (never one task per query — see grouped-aggregate notes),
+    then a distributed sort restores the (query_id, rank) order. No
+    single worker ever holds more than ~1/1024 of the partials."""
 
     def merge_one(b: pa.Table) -> pa.Table:
         q = np.asarray(b["query_id"].to_numpy(zero_copy_only=False),
@@ -126,6 +142,23 @@ def _merge_partial_topk(partials: Dataset, k: int) -> Dataset:
             "neighbor_id": pa.array(nid[keep], pa.int64()),
             "rank": pa.array(rank[keep], pa.int64()),
         })
+
+    if n_queries is not None and n_queries > SHUFFLE_MERGE_QUERIES:
+        n_buckets = 1024
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            q = np.asarray(b["query_id"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            return b.append_column(
+                "_qb", pa.array((q % n_buckets).astype(np.int64)))
+
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            return merge_one(g.drop_columns(["_qb"]))
+
+        return (partials.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_qb")
+                .map_groups(merge_bucket, batch_format="pyarrow")
+                .sort(["query_id", "rank"]))
 
     return partials.repartition(1).map_batches(
         merge_one, batch_format="pyarrow", batch_size=None)
@@ -436,4 +469,5 @@ def ivf_knn(ds: Dataset, vec_col: str, id_col: str,
         })
 
     return _merge_partial_topk(
-        ds.map_batches(partial, batch_format="pyarrow"), k)
+        ds.map_batches(partial, batch_format="pyarrow"), k,
+        n_queries=qm.shape[0])

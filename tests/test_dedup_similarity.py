@@ -169,6 +169,21 @@ def test_knn_cosine_matches_numpy():
         assert mine == want
 
 
+def test_knn_shuffle_merge_matches_single_task(monkeypatch):
+    """Large-Q plan (bucketed shuffle merge + distributed sort) must
+    return exactly the single-task merge's rows in the same order —
+    and must not route all partials through one task."""
+    import batch_geocode_ray.stages.similarity as sim
+
+    ds, m = embeddings_ds()
+    q, qids = m[:7], np.arange(7)
+    want = knn_cosine(ds, "embedding", "vec_id", q, qids, k=4).take_all()
+    monkeypatch.setattr(sim, "SHUFFLE_MERGE_QUERIES", 3)  # force shuffle path
+    got = knn_cosine(ds, "embedding", "vec_id", q, qids, k=4).take_all()
+    assert [tuple(sorted(r.items())) for r in got] == \
+        [tuple(sorted(r.items())) for r in want]
+
+
 def test_cosine_neardup_pairs():
     ds, m = embeddings_ds()
     pairs = cosine_neardup_pairs(ds, "embedding", "vec_id",
@@ -447,3 +462,63 @@ def test_video_frame_sample_plumbing():
     assert out[3]["frame_mean"] == out2[3]["frame_mean"]
     with pytest.raises(NotImplementedError):
         VideoFrameSample(decode="real")._decode_frame(b"x", 0)
+
+
+# ---------------------------------------------------------------------------
+# batch-boundary invariance (hypothesis): the bucketed pair emitters
+# rely on groupby co-location, so the pair SET must not depend on how
+# rows are split into input blocks.
+# ---------------------------------------------------------------------------
+
+def _boundary_corpus() -> pa.Table:
+    """24 docs: 3 exact-dup groups, near-dups, and distinct fillers."""
+    words = ("apple banana cherry date elder fig grape honey iris juniper "
+             "kiwi lemon mango nectar olive peach").split()
+    texts = []
+    for i in range(24):
+        if i % 8 == 0:
+            texts.append(BASE)                       # exact dup group A
+        elif i % 8 == 1:
+            texts.append(BASE + " phi")              # near-dup of A
+        elif i % 8 == 2:
+            texts.append(" ".join(words))            # exact dup group B
+        else:
+            texts.append(" ".join(words[j % len(words)]
+                                  for j in range(i, i + 12)))
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def _pairs_with_splits(fn, splits: list[int]) -> set:
+    t = _boundary_corpus()
+    bounds = sorted({0, *splits, t.num_rows})
+    blocks = [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])
+              if b > a]
+    ds = rd.from_arrow(blocks)
+    return {(r["d1"], r["d2"]) for r in fn(ds).take_all()}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=23),
+                    min_size=0, max_size=6))
+    def test_minhash_pairs_invariant_to_block_boundaries(splits):
+        fn = lambda ds: minhash_lsh_pairs(ds, "text", "doc_id",
+                                          threshold=0.8, verify="trigram")
+        assert _pairs_with_splits(fn, splits) == _pairs_with_splits(fn, [])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=23),
+                    min_size=0, max_size=6))
+    def test_fingerprint_pairs_invariant_to_block_boundaries(splits):
+        from batch_geocode_ray.stages.dedup import fingerprint_dup_pairs
+
+        fn = lambda ds: fingerprint_dup_pairs(ds, "text", "doc_id")
+        assert _pairs_with_splits(fn, splits) == _pairs_with_splits(fn, [])
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
