@@ -1716,6 +1716,66 @@ def q48_tile_raster(sf_dir: str) -> Dataset:
                              "max_buffer": 4})
 
 
+def q49_geocode_admin(sf_dir: str) -> Dataset:
+    """The PIP broadcast join driver-gated: admin assignment (deepest
+    level wins, ties -> smallest admin_id, outside -> -1) of each
+    page's composite best point, against a DuckDB even-odd ray-casting
+    oracle over the unnested polygon edges — term-for-term the crossing
+    test in stages/pip.py:64-80."""
+    from batch_geocode_ray.pipelines.geocode import build_geocode_pipeline
+    from batch_geocode_ray.sources.fixtures import generate_world
+
+    d = _flagship_dir()
+    world = generate_world()
+    ds = build_geocode_pipeline(f"{d}/pages", world.gazetteer,
+                                admin_polygons=world.admin_polygons)
+    return ds.select_columns(
+        ["url", "admin_id", "admin_level", "admin_cc"]).sort("url")
+
+
+def _sql_q49() -> str:
+    d = _flagship_fixture_path()
+    return _flagship_cte() + f"""
+, polys AS (
+  SELECT admin_id, admin_level, cc, ring_lons, ring_lats,
+         len(ring_lons) AS nv
+  FROM '{d}/admin_polygons.parquet'
+), edges AS (
+  -- edge (prev vertex -> vertex i), the exact loop order of
+  -- PolygonIndex.contains (j starts at the last vertex)
+  SELECT admin_id, admin_level, cc,
+         ring_lons[((i.i + nv - 2) % nv) + 1] AS x1,
+         ring_lats[((i.i + nv - 2) % nv) + 1] AS y1,
+         ring_lons[i.i] AS x2,
+         ring_lats[i.i] AS y2
+  FROM polys CROSS JOIN LATERAL unnest(range(1, nv + 1)) AS i(i)
+), pts AS (
+  SELECT url, b_lon AS lon, b_lat AS lat FROM best WHERE b_buf <= 15.0
+), hits AS (
+  -- even-odd: a point is inside iff an odd number of edges cross the
+  -- rightward ray; the crossing test mirrors pip.py:75-78
+  SELECT p.url, e.admin_id, e.admin_level, e.cc
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) % 2 = 1
+), assigned AS (
+  SELECT url, admin_id, admin_level, cc,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY admin_level DESC, admin_id) AS rn
+  FROM hits
+)
+SELECT p.url,
+       CAST(coalesce(a.admin_id, -1) AS BIGINT) AS admin_id,
+       CAST(coalesce(a.admin_level, -1) AS BIGINT) AS admin_level,
+       a.cc AS admin_cc
+FROM pages p
+LEFT JOIN (SELECT * FROM assigned WHERE rn = 1) a ON a.url = p.url
+ORDER BY p.url
+"""
+
+
 def _sql_hav(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """Haversine km, term-for-term the NumPy kernel (functions/geo.py:23):
     radians first, then subtract; clip into [0,1] before asin(sqrt)."""
@@ -1888,6 +1948,7 @@ QUERIES = {
     "q46_geocode_best": q46_geocode_best,
     "q47_geocode_knn": q47_geocode_knn,
     "q48_tile_raster": q48_tile_raster,
+    "q49_geocode_admin": q49_geocode_admin,
 }
 
 ORACLE_SQL = {
@@ -1932,6 +1993,7 @@ ORACLE_SQL = {
     "q46_geocode_best": _sql_q46(),
     "q47_geocode_knn": _sql_q47(),
     "q48_tile_raster": _sql_q48(),
+    "q49_geocode_admin": _sql_q49(),
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
@@ -1939,11 +2001,11 @@ ORACLE_SQL = {
     #   q21 IVF ANN — approximate by design; recall@k >= 0.9 vs the
     #       exact q16 pinned in pytest (test_ivf_recall_pin).
     #   q22/q23 flagship geocode/tiles — the FULL wide output incl.
-    #       hex/s2 cells and PIP admin columns (custom cell math and
-    #       point-in-polygon are not SQL-expressible); parity is pinned
-    #       against the single-process oracle in tests/oracle.py, and
-    #       the SQL-expressible slice of the same pipeline IS fully
-    #       driver-oracled by q46 (best_*), q47 (kNN), q48 (tile fork).
+    #       hex/s2 cells (custom cell math is not SQL-expressible);
+    #       parity is pinned against the single-process oracle in
+    #       tests/oracle.py, and the SQL-expressible slice of the same
+    #       pipeline IS fully driver-oracled: q46 (extract+match+vet
+    #       best_*), q47 (kNN), q48 (tile fork), q49 (PIP admin).
     #   q24/q25 multimodal — decode is an honest stub (no codec libs in
     #       the sandbox); plumbing is deterministic and pytest-pinned.
     #   q35 k-means — iterative/fixpoint, not SQL-expressible;
