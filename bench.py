@@ -83,6 +83,13 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     from batch_geocode_ray.pipelines.queries import _fixture_pages_for
     _fixture_pages_for(sf_dir)
 
+    # spin up the worker pool once before timing: the first dataset of a
+    # fresh Ray session otherwise pays ~1-2s of worker start/plasma init
+    # that belongs to the session, not to whichever query runs first
+    import ray.data as _rd
+    _rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
