@@ -30,3 +30,24 @@ def test_fused_equals_unfused():
     assert fused[0].keys() == unfused[0].keys()
     for a, b, c in zip(fused, unfused, actor):
         assert a == b == c
+
+
+def test_read_num_blocks_sizing(tmp_path):
+    """Read-block sizing: ~32MB blocks with a 3-tasks/CPU floor for big
+    inputs, but never sub-MB blocks for small inputs (the floor once
+    sliced a 14MB fixture into 96 tiny blocks — 2x slower)."""
+    import ray
+
+    from batch_geocode_ray.pipelines.geocode import _read_num_blocks
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    p = tmp_path / "small.bin"
+    p.write_bytes(b"x" * (14 << 20))  # 14MB
+    n = _read_num_blocks(str(p))
+    assert n is not None and n <= 14  # >= ~1MB per block
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (64 << 20))
+    big_total = 100 * (64 << 20)  # simulate via many paths
+    n_big = _read_num_blocks([str(big)] * 100)
+    assert n_big == max(3 * cpus, big_total // (32 << 20))
+    assert _read_num_blocks(str(tmp_path / "missing")) is None
