@@ -90,12 +90,19 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     _rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
         lambda b: b, batch_format="pyarrow").count()
 
+    # best-of-2 per query: single shots on this box swing 2-3x with
+    # hypervisor weather (documented in BASELINE.md); two runs cost
+    # ~40s and keep one bad window from polluting the whole record
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
-        t0 = time.perf_counter()
-        rows[name] = _consume(QUERIES[name](sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows[name] = _consume(QUERIES[name](sf_dir))
+            sec = round(time.perf_counter() - t0, 3)
+            best = sec if best is None else min(best, sec)
+        timings[name] = best
         print(f"  {name}: {timings[name]:.2f}s rows={rows[name]}",
               file=sys.stderr, flush=True)
 
@@ -114,12 +121,15 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
                 pass
     import shutil
     out_dir = os.environ.get("BGR_BENCH_OUT", "/dev/shm/bgr_bench_out")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_geocode_pipeline(
-        f"{d}/pages", world.gazetteer, admin_polygons=world.admin_polygons,
-        facilities=world.facilities, with_knn=True).write_parquet(out_dir)
-    flagship_sec = round(time.perf_counter() - t0, 3)
+    flagship_sec = None
+    for _ in range(2):  # best-of-2, same rationale as the query loop
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_geocode_pipeline(
+            f"{d}/pages", world.gazetteer, admin_polygons=world.admin_polygons,
+            facilities=world.facilities, with_knn=True).write_parquet(out_dir)
+        sec = round(time.perf_counter() - t0, 3)
+        flagship_sec = sec if flagship_sec is None else min(flagship_sec, sec)
     timings[f"flagship_{big_n}pages"] = flagship_sec
     rows[f"flagship_{big_n}pages"] = big_n
     print(f"  flagship_{big_n}: {flagship_sec:.2f}s", file=sys.stderr, flush=True)
@@ -263,6 +273,7 @@ def main():
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "pages_per_sec": round(res["flagship_pages"] / res["flagship_sec"], 1),
+        "protocol": "best-of-2 per query (hypervisor noise, BASELINE.md)",
     }))
 
 
