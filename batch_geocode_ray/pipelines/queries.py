@@ -77,6 +77,21 @@ def _sort_single(ds: Dataset, keys: list[str]) -> Dataset:
                                          batch_size=None)
 
 
+def _sort_adaptive(ds: Dataset, keys: list[str] | str) -> Dataset:
+    """Final ordering with the same adaptive shape as the dedup ops: a
+    Ray ``sort`` is an all-to-all with a ~1-2 s fixed floor that small
+    results (gate outputs, per-row projections at test scale) don't
+    need — probe the materialized size and sort in ONE task below the
+    collapse threshold, distributed above it (the 10^12-row plan)."""
+    from batch_geocode_ray.stages.dedup import _probe_small
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m, small = _probe_small(ds)
+    if small:
+        return _sort_single(m, keys)
+    return m.sort(keys)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -312,7 +327,8 @@ def q09_doc_tokens(sf_dir: str) -> Dataset:
             "n_tokens": pa.array(token_count_column(b["text"]), pa.int64()),
         })
 
-    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
 
 
 _SQL_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
@@ -339,7 +355,8 @@ def q10_doc_quality(sf_dir: str) -> Dataset:
             "alpha_ratio": pa.array(q["alpha_ratio"], pa.float64()),
         })
 
-    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
 
 
 SQL_Q10 = f"""
@@ -377,7 +394,8 @@ def q11_doc_langid(sf_dir: str) -> Dataset:
             cols[f"hits_{lang}"] = pa.array(out[f"hits_{lang}"], pa.int64())
         return pa.table(cols)
 
-    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
 
 
 _LANG_MARKERS_SQL = {
@@ -768,8 +786,8 @@ def q27_event_sessions(sf_dir: str) -> Dataset:
     # oracle ends ORDER BY user_id, session_n and the driver hash is
     # row-order-sensitive. Sessions are O(events) worst-case, so the
     # ordering is a distributed sort, not a single-task merge.
-    return _round_cols(out, {"sum_value": 4}).sort(
-        ["user_id", "session_n"])
+    return _sort_adaptive(_round_cols(out, {"sum_value": 4}),
+                          ["user_id", "session_n"])
 
 
 SQL_Q27 = """
@@ -1024,8 +1042,9 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
                                 k=3, threshold=0.8)
     cleaned = semi_anti_join(step1, pairs, "doc_id", right_key="d2",
                              anti=True)
-    # survivors are O(docs): distributed final sort
-    return cleaned.select_columns(["doc_id", "n_tokens"]).sort("doc_id")
+    # survivors are O(docs): size-probed final sort (distributed at scale)
+    return _sort_adaptive(cleaned.select_columns(["doc_id", "n_tokens"]),
+                          "doc_id")
 
 
 SQL_Q34 = f"""
@@ -1407,7 +1426,8 @@ def q41_url_canonical(sf_dir: str) -> Dataset:
 
     # one output row per document -> distributed sort (a single-task
     # sort would concentrate O(N) rows at 10^12 docs)
-    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
 
 
 # the same regex ladder as functions/urls.py, spelled in DuckDB (RE2;
@@ -1502,7 +1522,7 @@ def q43_user_moving_avg(sf_dir: str) -> Dataset:
     out = grouped_moving_avg(ev, "user_id", "ts", "event_id", "value",
                              window_rows=7)
     # one output row per event -> distributed sort, not a 1-task merge
-    return _round_cols(out, {"mov_avg": 4}).sort("event_id")
+    return _sort_adaptive(_round_cols(out, {"mov_avg": 4}), "event_id")
 
 
 SQL_Q43 = f"""
@@ -1672,8 +1692,8 @@ def q46_geocode_best(sf_dir: str) -> Dataset:
     ds = _flagship_pipeline().select_columns(
         ["url", "lang", "best_name", "best_type",
          "best_lat", "best_long", "best_buffer"])
-    return _round_cols(ds, {"best_lat": 4, "best_long": 4,
-                            "best_buffer": 4}).sort("url")
+    return _sort_adaptive(_round_cols(ds, {"best_lat": 4, "best_long": 4,
+                                           "best_buffer": 4}), "url")
 
 
 def q47_geocode_knn(sf_dir: str) -> Dataset:
@@ -1693,7 +1713,7 @@ def q47_geocode_knn(sf_dir: str) -> Dataset:
 
     ds = _flagship_pipeline(with_knn=True).map_batches(
         first_nn, batch_format="pyarrow")
-    return _round_cols(ds, {"nn_km": 4}).sort("url")
+    return _sort_adaptive(_round_cols(ds, {"nn_km": 4}), "url")
 
 
 def q48_tile_raster(sf_dir: str) -> Dataset:
@@ -1729,8 +1749,8 @@ def q49_geocode_admin(sf_dir: str) -> Dataset:
     world = generate_world()
     ds = build_geocode_pipeline(f"{d}/pages", world.gazetteer,
                                 admin_polygons=world.admin_polygons)
-    return ds.select_columns(
-        ["url", "admin_id", "admin_level", "admin_cc"]).sort("url")
+    return _sort_adaptive(ds.select_columns(
+        ["url", "admin_id", "admin_level", "admin_cc"]), "url")
 
 
 def _sql_q49() -> str:
