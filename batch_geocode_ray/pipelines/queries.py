@@ -926,7 +926,7 @@ def q31_event_props(sf_dir: str) -> Dataset:
     return ev.map_batches(f, batch_format="pyarrow")
 
 
-SQL_Q31 = """
+SQL_Q31 = r"""
 SELECT event_id,
        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value
 FROM events ORDER BY event_id
