@@ -69,7 +69,9 @@ def _xyz_to_face_uv(x, y, z):
     # negative dominant axis -> face + 3
     dominant = np.choose(face, [x, y, z])
     face = np.where(dominant < 0, face + 3, face).astype(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # full-array divides: values off each face's mask are discarded, so
+    # div-by-zero/overflow there are expected and silenced
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.empty_like(x)
         v = np.empty_like(x)
         m = face == 0

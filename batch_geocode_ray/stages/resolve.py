@@ -208,8 +208,15 @@ class MentionResolver:
         best_name = np.full(n, None, dtype=object)
         best_type = np.full(n, None, dtype=object)
         best_name[best_mask] = "Vetted"
-        best_type[best_mask] = [f"Composite of {int(v)} geocoded locations"
-                                for v in num_valid[best_mask]]
+        # vectorized format: num_valid takes a handful of distinct small
+        # values, so format each ONCE and scatter by index (the naive
+        # per-row f-string was the last per-row Python in the hot path)
+        nv = num_valid[best_mask]
+        if len(nv):
+            uniq, inv = np.unique(nv, return_inverse=True)
+            strs = np.array([f"Composite of {int(v)} geocoded locations"
+                             for v in uniq], dtype=object)
+            best_type[best_mask] = strs[inv]
         out_cols["best_name"] = pa.array(best_name, pa.string())
         out_cols["best_type"] = pa.array(best_type, pa.string())
         out_cols["best_lat"] = _masked_f64(np.where(best_mask, best_lat, np.nan))
