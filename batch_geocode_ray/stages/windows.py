@@ -24,6 +24,24 @@ from ray.data import Dataset
 from batch_geocode_ray.functions.hashing import splitmix64
 
 
+def _bucketed_groups(ds: Dataset, bucket_fn, group_fn) -> Dataset:
+    """bucket-map -> groupby(_bucket) -> per-bucket vectorized group fn,
+    with the same adaptive small-side collapse as the dedup ops: the
+    group fns here lexsort and segment internally, so they are
+    bucket-INDEPENDENT — below the size threshold the whole input runs
+    through ``group_fn`` as ONE task, skipping the groupby all-to-all
+    (~1-2 s fixed). Above it, the coarse-bucket shuffle is the
+    10^12-row plan (hook runs ~n_buckets times, never once per key)."""
+    from batch_geocode_ray.stages.dedup import _one_task, _probe_small
+
+    m, small = _probe_small(ds)
+    if small:
+        return _one_task(m, group_fn)
+    return (m.map_batches(bucket_fn, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(group_fn, batch_format="pyarrow"))
+
+
 def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
                order_col: str, gap_seconds: float = 1800.0,
                n_buckets: int = 256) -> Dataset:
@@ -83,9 +101,7 @@ def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
             "sum_value": pa.array(sums, pa.float64()),
         })
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(sessions_in_bucket, batch_format="pyarrow"))
+    return _bucketed_groups(ds, bucket, sessions_in_bucket)
 
 
 def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
@@ -145,9 +161,7 @@ def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
             out_name: pa.array(avg, pa.float64()),
         })
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(avg_in_bucket, batch_format="pyarrow"))
+    return _bucketed_groups(ds, bucket, avg_in_bucket)
 
 
 def hopping_window_rows(ds: Dataset, ts_col: str, value_cols: list[str],

@@ -522,3 +522,38 @@ try:
         assert _pairs_with_splits(fn, splits) == _pairs_with_splits(fn, [])
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+def test_window_ops_shuffle_plan_equals_collapsed(monkeypatch):
+    """sessionize / grouped_moving_avg: the adaptive collapse is a
+    physical-plan choice only — forcing the bucketed shuffle plan must
+    give identical rows."""
+    import batch_geocode_ray.stages.dedup as dd
+    from batch_geocode_ray.stages.windows import (
+        grouped_moving_avg,
+        sessionize,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 20, n), pa.int64()),
+        "ts": pa.array((1_600_000_000_000_000
+                        + np.sort(rng.randint(0, 3_600_000_000 * 24, n))
+                        ).astype("datetime64[us]")),
+        "value": pa.array(rng.rand(n)),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+
+    def run():
+        s = sorted(tuple(sorted(r.items())) for r in sessionize(
+            ds, "user_id", "ts", "value", "event_id").take_all())
+        m = sorted(tuple(sorted(r.items())) for r in grouped_moving_avg(
+            ds, "user_id", "ts", "event_id", "value").take_all())
+        return s, m
+
+    collapsed = run()
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    shuffled = run()
+    assert collapsed == shuffled
