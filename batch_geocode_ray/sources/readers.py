@@ -98,4 +98,19 @@ def read_table_auto(path_or_bytes, encoding: str | None = None,
             return read_xlsx(path_or_bytes), "utf-8", None
         except Exception as e:  # bad zip/XML -> reference-style error
             return None, None, f"could not parse xlsx: {e}"
+    if str(name).lower().endswith((".json", ".jsonl", ".ndjson")):
+        # newline-delimited JSON intake (the common web-corpus sidecar
+        # format); the distributed path for big inputs is
+        # ray.data.read_json — this is the driver-side upload intake
+        import io
+
+        import pyarrow.json as pajson
+
+        try:
+            buf = (io.BytesIO(path_or_bytes)
+                   if isinstance(path_or_bytes, (bytes, bytearray))
+                   else path_or_bytes)
+            return pajson.read_json(buf), "utf-8", None
+        except Exception as e:
+            return None, None, f"could not parse json: {e}"
     return read_csv_auto(path_or_bytes, encoding)

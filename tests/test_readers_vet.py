@@ -260,3 +260,19 @@ def test_xlsx_property_round_trip():
             assert g is not None and (g == w or math.isclose(g, w))
 
     roundtrip()
+
+
+def test_read_table_auto_jsonl(tmp_path):
+    from batch_geocode_ray.sources.readers import read_table_auto
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 1, "addr": "x"}\n{"id": 2, "addr": "y"}\n')
+    t, enc, err = read_table_auto(str(p))
+    assert err is None and enc == "utf-8"
+    assert t.column("id").to_pylist() == [1, 2]
+    # bytes input with filename hint
+    t2, _, err2 = read_table_auto(p.read_bytes(), filename="u.ndjson")
+    assert err2 is None and t2.num_rows == 2
+    # malformed -> reference-style (None, None, error)
+    bad, _, err3 = read_table_auto(b'{"id": ', filename="bad.json")
+    assert bad is None and "json" in err3
