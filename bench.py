@@ -83,6 +83,16 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     from batch_geocode_ray.pipelines.queries import _fixture_pages_for
     _fixture_pages_for(sf_dir)
 
+    # pre-warm the sf tables into the page cache: the sandbox's single
+    # virtual disk swings ~4x with hypervisor weather and is a
+    # non-scaling resource (BASELINE.md); a cold cache charges one
+    # slow-disk read to whichever query touches each table first
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(sf_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
     # spin up the worker pool once before timing: the first dataset of a
     # fresh Ray session otherwise pays ~1-2s of worker start/plasma init
     # that belongs to the session, not to whichever query runs first
