@@ -131,3 +131,23 @@ def test_grouped_topk_merge_plans_agree():
     single = run("single")
     shuffle = run("shuffle")
     assert single == shuffle and len(single) == 40 * 3
+
+
+def test_sort_adaptive_shuffle_plan_equals_collapsed(monkeypatch):
+    """_sort_adaptive is a physical-plan choice only: forcing the
+    distributed sort must give the same row order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import batch_geocode_ray.stages.dedup as dd
+    from batch_geocode_ray.pipelines.queries import _sort_adaptive
+
+    rng = np.random.RandomState(3)
+    t = pa.table({"k": pa.array(rng.permutation(500), pa.int64()),
+                  "v": pa.array(rng.rand(500))})
+    ds = rd.from_arrow(t).repartition(4)
+    want = _sort_adaptive(ds, "k").take_all()
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    got = _sort_adaptive(ds, "k").take_all()
+    assert [r["k"] for r in got] == [r["k"] for r in want] == list(range(500))
