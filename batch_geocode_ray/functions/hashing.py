@@ -99,3 +99,17 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     shape = x.shape
     bytes_view = np.ascontiguousarray(x).reshape(-1, 1).view(np.uint8)
     return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64).reshape(shape)
+
+
+def knuth_sample_mask(keys, rate_pct: int,
+                      mult: int = 2654435761) -> "np.ndarray":
+    """Deterministic, SQL-recomputable sample mask over integer keys:
+    ``((key * mult) % 2^32) % 100 < rate_pct`` (Knuth multiplicative
+    hashing). Unlike :func:`splitmix64`-based sampling this is plain
+    BIGINT arithmetic an oracle can recompute verbatim — the point is
+    reproducible sampling that two independent engines agree on
+    row-for-row. Keys must be non-negative and < 2^32 so the signed
+    BIGINT product never overflows on the SQL side."""
+    k = np.asarray(keys, dtype=np.int64)
+    h = (k * np.int64(mult)) % np.int64(4294967296)
+    return (h % np.int64(100)) < np.int64(rate_pct)

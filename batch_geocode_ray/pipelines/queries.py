@@ -1915,6 +1915,195 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q50_event_rank_windows(sf_dir: str) -> Dataset:
+    """Per-user ranking windows — ROW_NUMBER / RANK / DENSE_RANK over a
+    quantized value bucket (integer, so ties are exact and ranks agree
+    bit-for-bit across engines). The ranking triple is computed under
+    ONE physical ordering in stages/windows.grouped_rank (coarse-bucket
+    shuffle + vectorized run arithmetic)."""
+    from batch_geocode_ray.stages.windows import grouped_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vb = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["value"], pa.float64()), 10.0)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"], "vb": vb})
+
+    out = grouped_rank(ev.map_batches(bucketize, batch_format="pyarrow"),
+                       "user_id", "vb", ["ts", "event_id"], "event_id")
+    return _sort_adaptive(out, "event_id")
+
+
+SQL_Q50 = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(value / 10.0) AS BIGINT) DESC,
+                                   ts, event_id) AS rn,
+       rank()       OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(value / 10.0) AS BIGINT) DESC)
+                    AS rnk,
+       dense_rank() OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(value / 10.0) AS BIGINT) DESC)
+                    AS drnk
+FROM events ORDER BY event_id
+"""
+
+
+def q51_user_interarrival(sf_dir: str) -> Dataset:
+    """Per-user LAG-gap statistics (n/sum/max of consecutive-event
+    timestamp deltas) — all int64-exact, reduced inside the bucket
+    group fn so the output is one row per user
+    (stages/windows.interarrival_stats)."""
+    from batch_geocode_ray.stages.windows import interarrival_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return _sort_adaptive(
+        interarrival_stats(ev, "user_id", "ts", "event_id"), "user_id")
+
+
+SQL_Q51 = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(gap) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       max(gap) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q52_order_sample_stats(sf_dir: str) -> Dataset:
+    """Deterministic reproducible sampling: a 5% Knuth
+    multiplicative-hash sample of orders (plain BIGINT arithmetic, so
+    the oracle recomputes the SAME sample row-for-row — unlike
+    rng-based Dataset.random_sample) aggregated per priority."""
+    from batch_geocode_ray.functions.hashing import knuth_sample_mask
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = knuth_sample_mask(
+            np.asarray(b["o_orderkey"].to_numpy(zero_copy_only=False)), 5)
+        return b.filter(pa.array(keep))
+
+    agg = grouped_aggregate(
+        orders.map_batches(sample, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("o_orderkey", "count", "n_orders"),
+         ("o_totalprice", "sum", "sum_price")],
+        merge="single", sort_keys=["o_orderpriority"])
+    return _round_cols(agg, {"sum_price": 4})
+
+
+SQL_Q52 = f"""
+SELECT o_orderpriority,
+       count(o_orderkey) AS n_orders,
+       {_sql_fixed('sum(o_totalprice)')} AS sum_price
+FROM orders
+WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 5
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q53_event_type_pivot(sf_dir: str) -> Dataset:
+    """PIVOT: daily event counts fanned out into one column per event
+    type (stages/aggregates.pivot_counts — indicator columns + the
+    partial-combine aggregate, so a hot day costs one partial row per
+    batch)."""
+    from batch_geocode_ray.stages.aggregates import pivot_counts
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                         "event_type": b["event_type"]})
+
+    return pivot_counts(ev.map_batches(day_of, batch_format="pyarrow"),
+                        "day", "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
+SQL_Q53 = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+def q54_fuzzy_supplier_pairs(sf_dir: str) -> Dataset:
+    """Bounded edit-distance fuzzy self-join (Levenshtein <= 1) over
+    supplier names via FastSS deletion-neighborhood candidate
+    generation + exact banded-DP verification
+    (stages/dedup.edit_distance_pairs). The oracle recomputes with
+    DuckDB's native levenshtein() over the quadratic self-join — same
+    pairs, generated without ever comparing all pairs."""
+    from batch_geocode_ray.stages.dedup import edit_distance_pairs
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return _sort_adaptive(
+        edit_distance_pairs(sup, "s_name", "s_suppkey", max_dist=1),
+        ["d1", "d2"])
+
+
+SQL_Q54 = """
+SELECT a.s_suppkey AS d1, b.s_suppkey AS d2
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY d1, d2
+"""
+
+
+def q55_customer_rollup(sf_dir: str) -> Dataset:
+    """GROUP BY ROLLUP(region, nation): fine-level counts/sums plus
+    per-region subtotals and a grand total, rolled-up keys shown as
+    'ALL' (stages/aggregates.rollup_aggregate — one pass over the raw
+    rows; subtotals re-aggregate the reduced fine table)."""
+    from batch_geocode_ray.stages.aggregates import rollup_aggregate
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_names = dict(zip(region["r_regionkey"].to_pylist(),
+                       region["r_name"].to_pylist()))
+    dim = pa.table({
+        "c_nationkey": nation["n_nationkey"],
+        "n_name": nation["n_name"],
+        "r_name": pa.array([r_names[k] for k in
+                            nation["n_regionkey"].to_pylist()], pa.string()),
+    })
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, "c_nationkey", ["n_name", "r_name"])
+    out = rollup_aggregate(joined, ["r_name", "n_name"],
+                           [("c_custkey", "count", "n_cust"),
+                            ("c_acctbal", "sum", "sum_bal")])
+    return _sort_adaptive(_round_cols(out, {"sum_bal": 4}),
+                          ["r_name", "n_name"])
+
+
+SQL_Q55 = f"""
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(n_name, 'ALL') AS n_name,
+       count(c_custkey) AS n_cust,
+       {_sql_fixed('sum(c_acctbal)')} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1969,6 +2158,12 @@ QUERIES = {
     "q47_geocode_knn": q47_geocode_knn,
     "q48_tile_raster": q48_tile_raster,
     "q49_geocode_admin": q49_geocode_admin,
+    "q50_event_rank_windows": q50_event_rank_windows,
+    "q51_user_interarrival": q51_user_interarrival,
+    "q52_order_sample_stats": q52_order_sample_stats,
+    "q53_event_type_pivot": q53_event_type_pivot,
+    "q54_fuzzy_supplier_pairs": q54_fuzzy_supplier_pairs,
+    "q55_customer_rollup": q55_customer_rollup,
 }
 
 ORACLE_SQL = {
@@ -2014,6 +2209,12 @@ ORACLE_SQL = {
     "q47_geocode_knn": _sql_q47(),
     "q48_tile_raster": _sql_q48(),
     "q49_geocode_admin": _sql_q49(),
+    "q50_event_rank_windows": SQL_Q50,
+    "q51_user_interarrival": SQL_Q51,
+    "q52_order_sample_stats": SQL_Q52,
+    "q53_event_type_pivot": SQL_Q53,
+    "q54_fuzzy_supplier_pairs": SQL_Q54,
+    "q55_customer_rollup": SQL_Q55,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -217,3 +217,91 @@ def salted_groupby_map_groups(ds: Dataset, key: str, partial_fn, final_fn,
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     stage1 = salted.groupby([key, "_salt"]).map_groups(partial_fn, batch_format=batch_format)
     return stage1.groupby(key).map_groups(final_fn, batch_format=batch_format)
+
+
+def pivot_counts(ds: Dataset, group_col: str, type_col: str,
+                 categories: list[str], out_prefix: str = "n_",
+                 merge: str = "single") -> Dataset:
+    """PIVOT: one output row per ``group_col`` value with a count
+    column per category of ``type_col`` (SQL: ``count(*) FILTER (WHERE
+    type = c) AS n_c``). Unknown categories are dropped (SQL IN-list
+    semantics).
+
+    Vectorized per batch as 0/1 indicator columns summed by the same
+    partial-combine plan as :func:`grouped_aggregate` — a hot group
+    costs one partial row per batch, never a shuffle of raw rows.
+    """
+    import pyarrow.compute as pc
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols = {group_col: b[group_col]}
+        for c in categories:
+            cols[f"{out_prefix}{c}"] = pc.cast(
+                pc.equal(b[type_col], pa.scalar(c)), pa.int64())
+        return pa.table(cols)
+
+    specs = [(f"{out_prefix}{c}", "sum", f"{out_prefix}{c}")
+             for c in categories]
+    return grouped_aggregate(ds.map_batches(indicators,
+                                            batch_format="pyarrow"),
+                             [group_col], specs, merge=merge,
+                             sort_keys=[group_col]
+                             if merge == "single" else None)
+
+
+def rollup_aggregate(ds: Dataset, keys: list[str],
+                     specs: list[tuple[str, str, str]],
+                     sentinel: str = "ALL",
+                     merge: str = "shuffle") -> Dataset:
+    """GROUP BY ROLLUP(keys...): the fine-level aggregate plus one
+    subtotal level per key prefix and a grand total, rolled-up key
+    columns holding ``sentinel`` (SQL mirrors with
+    ``coalesce(k, sentinel)``). Ops are re-aggregable only
+    (sum/min/max/count/count_rows — mean must be derived from
+    sum+count by the caller).
+
+    Scale shape: ONE pass over the raw input builds the fine level
+    (partial-combine, so input never shuffles raw rows); every coarser
+    level re-aggregates the already-reduced fine table — the fine
+    result is materialized ONCE and shared by all levels instead of
+    re-scanning the input per level. Key columns must be strings (the
+    sentinel needs a slot in the same type).
+    """
+    for _, op, _ in specs:
+        if op not in ("sum", "min", "max", "count", "count_rows"):
+            raise ValueError(f"rollup cannot re-aggregate op {op!r}")
+    out_names = [out for _, _, out in specs]
+
+    fine = grouped_aggregate(ds, keys, specs, merge=merge).materialize()
+    respec = [(out, "sum" if op in ("sum", "count", "count_rows")
+               else op, out) for _, op, out in specs]
+
+    def project(level_keys: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {}
+            for k in keys:
+                cols[k] = (b[k] if k in level_keys
+                           else pa.array([sentinel] * n, pa.string()))
+            for o in out_names:
+                cols[o] = b[o]
+            return pa.table(cols)
+        return f
+
+    levels = [fine.map_batches(project(keys), batch_format="pyarrow")]
+    for width in range(len(keys) - 1, -1, -1):
+        sub = keys[:width]
+        if sub:
+            lvl = grouped_aggregate(fine, sub, respec, merge="single")
+        else:
+            lvl = grouped_aggregate(
+                fine.map_batches(
+                    lambda b: b.append_column(
+                        "_all", pa.array([0] * b.num_rows, pa.int64())),
+                    batch_format="pyarrow"),
+                ["_all"], respec, merge="single")
+        levels.append(lvl.map_batches(project(sub), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -819,3 +819,152 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
             .map_groups(emit_pairs_bucket, batch_format="pyarrow")
             .groupby(["d1", "d2"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------------------------------
+# bounded edit-distance (Levenshtein) join via deletion neighborhoods
+# ---------------------------------------------------------------------------
+
+def _lev_leq(a: str, b: str, k: int) -> bool:
+    """Exact bounded Levenshtein check: True iff lev(a, b) <= k.
+    Banded DP over a (2k+1)-wide diagonal strip — O(k * max(len))."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:                      # keep b the longer string
+        a, b, la, lb = b, a, lb, la
+    # strip common prefix/suffix (the frequent case for k=1)
+    p = 0
+    while p < la and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < la - p and a[la - 1 - s] == b[lb - 1 - s]:
+        s += 1
+    a, b = a[p:la - s], b[p:lb - s]
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb <= k
+    # banded DP
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [k + 1] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[max(0, i - k):min(lb, i + k) + 1]) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def edit_distance_pairs(ds: Dataset, text_col: str, id_col: str,
+                        max_dist: int = 1) -> Dataset:
+    """Fuzzy self-join: all id pairs whose ``text_col`` values are
+    within Levenshtein distance ``max_dist`` (SQL:
+    ``levenshtein(a.t, b.t) <= max_dist`` over a < self-join).
+
+    Candidate generation is the FastSS deletion-neighborhood scheme:
+    every string emits itself plus all variants with up to ``max_dist``
+    characters deleted; two strings within distance k share at least
+    one variant (substitution at i -> both delete i; indel -> one side
+    deletes). Shared-variant candidates are a SUPERSET (e.g. "ab"/"ba"
+    share variants at lev 2), so every candidate pair is verified with
+    an exact bounded-DP check before emission.
+
+    Scale shape: variants shuffle as (variant-hash bucket, id, text) —
+    O(rows * (L choose <=k)) short rows; pairs are emitted and verified
+    INSIDE the bucket group fn (texts are co-located there, no second
+    join), then distinct-ed by a (d1, d2) groupby. Below the
+    small-collapse threshold the whole plan runs as one task.
+    Assumes ``max_dist`` small (1-2) and strings short (names, titles);
+    for long documents use minhash/ngram ops instead.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def variants_of(s: str) -> set[str]:
+        out = {s}
+        frontier = {s}
+        for _ in range(max_dist):
+            nxt = set()
+            for v in frontier:
+                for i in range(len(v)):
+                    nxt.add(v[:i] + v[i + 1:])
+            out |= nxt
+            frontier = nxt
+        return out
+
+    def emit_variants(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        texts = b[text_col].to_pylist()
+        v_ids: list[int] = []
+        v_str: list[str] = []
+        v_txt: list[str] = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            for v in variants_of(t):
+                v_ids.append(int(i))
+                v_str.append(v)
+                v_txt.append(t)
+        vh = stable_hash64_array(pa.array(v_str, pa.string())) \
+            if v_str else np.array([], dtype=np.uint64)
+        return pa.table({
+            "vkey": pa.array(vh.astype(np.int64), pa.int64()),
+            "_bucket": pa.array(
+                (vh % np.uint64(1024)).astype(np.int64), pa.int64()),
+            id_col: pa.array(v_ids, pa.int64()),
+            "_t": pa.array(v_txt, pa.string()),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        vk = np.asarray(group["vkey"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        texts = group["_t"].to_pylist()
+        order = np.lexsort((ids, vk))
+        vk, ids = vk[order], ids[order]
+        texts = [texts[i] for i in order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(vk))[0] + 1, [len(vk)]])
+        seen: set[tuple[int, int]] = set()
+        d1s: list[int] = []
+        d2s: list[int] = []
+        for si in range(len(bounds) - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]
+            # same id may appear via several variants in one run
+            uniq, first = np.unique(seg_ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            seg_txt = [texts[lo + j] for j in first]
+            for x in range(len(uniq)):
+                for y in range(x + 1, len(uniq)):
+                    p = (int(uniq[x]), int(uniq[y]))
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if _lev_leq(seg_txt[x], seg_txt[y], max_dist):
+                        d1s.append(p[0])
+                        d2s.append(p[1])
+        return pa.table({"d1": pa.array(d1s, pa.int64()),
+                         "d2": pa.array(d2s, pa.int64())})
+
+    variants = ds.map_batches(emit_variants, batch_format="pyarrow")
+    m, small = _probe_small(variants)
+    if small:
+        # in-task `seen` already de-dupes; no distinct stage needed
+        return _one_task(m, pairs_in_bucket)
+    pairs = (m.groupby("_bucket")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    # the same pair can verify in several buckets -> global distinct
+    return (pairs.groupby(["d1", "d2"]).aggregate(Count(alias_name="_c"))
+            .map_batches(lambda b: pa.table({"d1": b["d1"], "d2": b["d2"]}),
+                         batch_format="pyarrow"))

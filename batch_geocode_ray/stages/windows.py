@@ -263,3 +263,133 @@ def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
     return (partials.map_batches(bucket, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(final_bucket, batch_format="pyarrow"))
+
+
+def grouped_rank(ds: Dataset, key_col: str, rank_col: str,
+                 tie_cols: list[str], id_col: str,
+                 n_buckets: int = 256) -> Dataset:
+    """Per-key ranking windows Ray Data lacks natively — the SQL triple
+
+        ROW_NUMBER() OVER (PARTITION BY key
+                           ORDER BY rank_col DESC, *tie_cols)
+        RANK()       OVER (PARTITION BY key ORDER BY rank_col DESC)
+        DENSE_RANK() OVER (PARTITION BY key ORDER BY rank_col DESC)
+
+    computed under ONE physical ordering (key, -rank_col, *tie_cols).
+    ``rank_col`` must be integer-valued (ties are exact, so ranks are
+    integers on both engines — no float stabilization needed).
+
+    Same partitioning shape as :func:`sessionize`: coarse-bucket keys
+    (group hook runs ~n_buckets times, never per key), lexsort inside,
+    then vectorized run/segment arithmetic. Output one row per input
+    row: (id_col, key_col, rn, rnk, drnk). Partitioning assumption:
+    one bucket of keys fits in a group's memory.
+    """
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def rank_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        keys = np.asarray(g[key_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        rv = np.asarray(g[rank_col].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ties = []
+        for c in tie_cols:
+            t = np.asarray(g[c].to_numpy(zero_copy_only=False))
+            if t.dtype.kind == "M":
+                t = t.astype("datetime64[us]").astype(np.int64)
+            ties.append(t.astype(np.int64))
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        # lexsort: last key is primary -> (tie_cols reversed, -rank, key)
+        order = np.lexsort(tuple(reversed(ties)) + (-rv, keys))
+        keys, rv, ids = keys[order], rv[order], ids[order]
+        idx = np.arange(n)
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = keys[1:] != keys[:-1]
+        new_run = new_key.copy()
+        if n > 1:
+            new_run[1:] |= rv[1:] != rv[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        rn = idx - key_start + 1
+        rnk = run_start - key_start + 1
+        drun = np.cumsum(new_run)
+        drun_at_key = np.maximum.accumulate(np.where(new_key, drun, 0))
+        drnk = drun - drun_at_key + 1
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            key_col: pa.array(keys, pa.int64()),
+            "rn": pa.array(rn.astype(np.int64)),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "drnk": pa.array(drnk.astype(np.int64)),
+        })
+
+    return _bucketed_groups(ds, bucket, rank_in_bucket)
+
+
+def interarrival_stats(ds: Dataset, key_col: str, ts_col: str,
+                       order_col: str, n_buckets: int = 256) -> Dataset:
+    """Per-key LAG-gap aggregate: order each key's rows by
+    (ts_col, order_col), take consecutive timestamp deltas (the SQL
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key ORDER BY
+    ts, order)``) and reduce them per key to (n_gaps, sum_gap_us,
+    max_gap_us) — all exact int64, no float stabilization needed.
+    Keys with fewer than 2 rows emit nothing (no gap exists), matching
+    the SQL ``WHERE gap IS NOT NULL`` filter.
+
+    The reduction happens INSIDE the bucket group fn, so the shuffle
+    moves one row per input row once and the output is one row per key.
+    """
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def gaps_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        keys = np.asarray(g[key_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False))
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((oid, ts_us, keys))
+        keys, ts_us = keys[order], ts_us[order]
+        if n < 2:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "sum_gap_us": pa.array([], pa.int64()),
+                             "max_gap_us": pa.array([], pa.int64())})
+        same = keys[1:] == keys[:-1]
+        gap = ts_us[1:] - ts_us[:-1]
+        gkey = keys[1:][same]
+        gval = gap[same]
+        if not len(gkey):
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "sum_gap_us": pa.array([], pa.int64()),
+                             "max_gap_us": pa.array([], pa.int64())})
+        starts = np.nonzero(np.concatenate(
+            [[True], gkey[1:] != gkey[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(gkey)]])
+        return pa.table({
+            key_col: pa.array(gkey[starts], pa.int64()),
+            "n_gaps": pa.array((ends - starts).astype(np.int64)),
+            "sum_gap_us": pa.array(np.add.reduceat(gval, starts)
+                                   .astype(np.int64)),
+            "max_gap_us": pa.array(np.maximum.reduceat(gval, starts)
+                                   .astype(np.int64)),
+        })
+
+    return _bucketed_groups(ds, bucket, gaps_in_bucket)
