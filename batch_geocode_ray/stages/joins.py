@@ -89,20 +89,50 @@ class BroadcastJoiner:
         self.rename = rename or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lk = self.lookup
-        pos, found = lk.probe(batch[self.key])
-        if self.how == "inner" and not found.all():
-            batch = batch.filter(pa.array(found))
-            pos = pos[found]
-            found = np.ones(len(pos), dtype=bool)
-        # positions with a null mask -> Arrow take emits typed nulls for
-        # unmatched rows, preserving each value column's source type
-        idx = (pa.array(pos, pa.int64()) if found.all()
-               else pa.array(pos, pa.int64(), mask=~found))
-        for c in lk.value_cols:
-            batch = batch.append_column(self.rename.get(c, c),
-                                        lk.values[c].take(idx))
-        return batch
+        return _probe_and_append(self.lookup, batch, self.key, self.how,
+                                 self.rename)
+
+
+def _probe_and_append(lk: _Lookup, batch: pa.Table, key: str, how: str,
+                      rename: dict[str, str]) -> pa.Table:
+    pos, found = lk.probe(batch[key])
+    if how == "inner" and not found.all():
+        batch = batch.filter(pa.array(found))
+        pos = pos[found]
+        found = np.ones(len(pos), dtype=bool)
+    # positions with a null mask -> Arrow take emits typed nulls for
+    # unmatched rows, preserving each value column's source type
+    idx = (pa.array(pos, pa.int64()) if found.all()
+           else pa.array(pos, pa.int64(), mask=~found))
+    for c in lk.value_cols:
+        batch = batch.append_column(rename.get(c, c),
+                                    lk.values[c].take(idx))
+    return batch
+
+
+# Per-worker lookup cache for the task-mode broadcast join: ray.get of
+# an in-plasma object is cheap but re-unpickles the _Lookup wrapper per
+# task; caching by ObjectRef makes every task after the first on a
+# worker free. Small LRU — a long session touches many different
+# broadcast tables (one per query) and must not pin them all in heap.
+_BJ_CACHE: "dict" = {}
+_BJ_CACHE_MAX = 8
+
+
+def _bj_lookup(ref) -> _Lookup:
+    lk = _BJ_CACHE.get(ref)
+    if lk is None:
+        lk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if len(_BJ_CACHE) >= _BJ_CACHE_MAX:
+            _BJ_CACHE.pop(next(iter(_BJ_CACHE)))
+        _BJ_CACHE[ref] = lk
+    return lk
+
+
+def _broadcast_join_fn(batch: pa.Table, *, lookup, key: str, how: str,
+                       rename) -> pa.Table:
+    return _probe_and_append(_bj_lookup(lookup), batch, key, how,
+                             rename or {})
 
 
 def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
@@ -323,13 +353,17 @@ def broadcast_join(ds: Dataset, small: pa.Table, key: str,
                    rename: dict[str, str] | None = None) -> Dataset:
     """Join ``small``'s ``value_cols`` onto ``ds`` by ``key`` without
     shuffling ``ds``. The small side is put into the object store ONCE
-    (not re-shipped per batch/task)."""
+    (not re-shipped per batch/task).
+
+    Runs as a plain TASK map with a per-worker lookup cache rather than
+    an actor pool: actor spin-up is ~1-2 s that short queries pay in
+    full, while tasks reach full parallelism instantly and fuse with
+    the upstream read (the fused-stage ``stateful_mode="task"``
+    lesson). State cost per worker is one zero-copy plasma read."""
     ref = ray.put(_Lookup(small, key, value_cols))
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"lookup": ref, "key": key, "how": how,
-                               "rename": rename},
+        _broadcast_join_fn,
+        fn_kwargs={"lookup": ref, "key": key, "how": how,
+                   "rename": rename},
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=0.5,
     )
