@@ -481,10 +481,11 @@ def q14_gazetteer_mentions(sf_dir: str) -> Dataset:
     })
     gaz_ref = ray.put(GazetteerIndex.from_table(gaz))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    matched = docs.map_batches(
-        GazetteerMatcher,
-        fn_constructor_kwargs={"gazetteer": gaz_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5)
+    from batch_geocode_ray.stages.stateful import stateful_map_batches
+
+    matched = stateful_map_batches(docs, GazetteerMatcher,
+                                   {"gazetteer": gaz_ref},
+                                   batch_format="pyarrow")
 
     def explode(b: pa.Table) -> pa.Table:
         m = b["mentions"].combine_chunks()

@@ -477,12 +477,13 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
     """
     rows_per_band = num_perm // bands
     with_text = verify == "trigram"
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "k": k,
-                               "include_text": with_text},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5).materialize()
+    from batch_geocode_ray.stages.stateful import stateful_map_batches
+
+    sigs = stateful_map_batches(
+        ds, MinHashSignatures,
+        {"text_col": text_col, "id_col": id_col,
+         "num_perm": num_perm, "k": k, "include_text": with_text},
+        batch_format="pyarrow").materialize()
     # materialized: consumed twice (banding + verification join)
     est_name = "jaccard" if with_text else "est_jaccard"
 
