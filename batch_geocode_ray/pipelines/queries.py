@@ -2105,6 +2105,255 @@ ORDER BY r_name, n_name
 """
 
 
+def q56_dedup_clusters(sf_dir: str) -> Dataset:
+    """Near-duplicate CLUSTERING: connected components over the trigram
+    Jaccard >= 0.8 pair graph (q15's edges), then every document
+    labeled with its component id (= min doc_id in the component;
+    documents in no pair label themselves). This is the step that turns
+    pair emitters into keep-one-per-cluster dedup. Distributed plan:
+    hash-to-min label propagation with pointer jumping
+    (stages/graph.py); oracle: recursive-CTE reachability in DuckDB."""
+    from batch_geocode_ray.stages.graph import (
+        connected_components,
+        label_all_nodes,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    labels = connected_components(pairs, "d1", "d2")
+    out = label_all_nodes(_read(sf_dir, "documents", ["doc_id"]),
+                          "doc_id", labels)
+    return _sort_adaptive(out, "doc_id")
+
+
+SQL_Q56 = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS g
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM shared
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+), reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def q57_corpus_vocab(sf_dir: str) -> Dataset:
+    """Corpus vocabulary, top-100 terms: per-batch pyarrow group_by
+    combiner (one partial row per (batch, token) — a hot token costs
+    one shuffled row per block, never one per occurrence), exact global
+    counts via the partial-merge aggregate, then
+    aggregates.global_topk (per-block partial top-k -> one bounded
+    merge; no full sort)."""
+    from batch_geocode_ray.functions.text import _flat_tokens, tokens_column
+    from batch_geocode_ray.stages.aggregates import global_topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(tokens_column(b["text"]))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    counts = grouped_aggregate(docs.map_batches(partial,
+                                                batch_format="pyarrow"),
+                               ["token"], [("n", "sum", "n")])
+    return global_topk(counts, "n", "token", 100)
+
+
+SQL_Q57 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT unnest(t) AS token FROM toks
+)
+SELECT token, count(*) AS n FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q58_token_postings(sf_dir: str) -> Dataset:
+    """Inverted-index postings (token, doc_id, tf): flat_map explode of
+    each document's token list + in-batch pyarrow group_by. A document
+    lives entirely inside one row/batch, so the per-batch (doc, token)
+    counts are exact with NO shuffle — only the final ordering moves
+    data (adaptive: single task below the collapse threshold, Ray sort
+    above)."""
+    from batch_geocode_ray.functions.text import _flat_tokens, tokens_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        flat, parents = _flat_tokens(tokens_column(b["text"]))
+        doc = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[parents]
+        g = (pa.table({"token": flat, "doc_id": pa.array(doc, pa.int64())})
+             .group_by(["token", "doc_id"]).aggregate([("doc_id", "count")]))
+        return g.rename_columns(["token", "doc_id", "tf"])
+
+    return _sort_adaptive(docs.map_batches(explode, batch_format="pyarrow"),
+                          ["token", "doc_id"])
+
+
+SQL_Q58 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+)
+SELECT token, doc_id, count(*) AS tf FROM tok
+GROUP BY token, doc_id ORDER BY token, doc_id
+"""
+
+
+_REDACT_PAT = r"\b(customer|spark|data)\b"
+
+
+def q59_text_redact(sf_dir: str) -> Dataset:
+    """Blocklist-term redaction (the PII-scrub shape): count + mask
+    matches with Arrow's RE2 kernels in one vectorized stateless map;
+    the oracle replays the identical RE2 pattern on DuckDB's regexp
+    engine (also RE2), so outputs match byte-for-byte."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b["text"],
+                                             pattern=_REDACT_PAT),
+                    pa.int64())
+        red = pc.replace_substring_regex(b["text"], pattern=_REDACT_PAT,
+                                         replacement="[X]")
+        return pa.table({"doc_id": b["doc_id"], "n_hits": n,
+                         "red_text": red})
+
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
+
+
+SQL_Q59 = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT)
+           AS n_hits,
+       regexp_replace(text, '{_REDACT_PAT}', '[X]', 'g') AS red_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q60_tfidf_top_terms(sf_dir: str) -> Dataset:
+    """Per-document top TF-IDF term. Document frequencies come from a
+    token aggregate whose partials are exact per batch (a doc never
+    spans batches), the resulting vocabulary table broadcasts ONCE
+    (ray.put, per-worker cache — not re-shipped per batch) into a
+    second vectorized pass that scores tf * ln(N/df) and
+    argmax-selects per doc IN BATCH — no per-doc shuffle anywhere.
+    Scores are fixed-point stabilized on both sides; ties break on the
+    lexicographically smallest token (vocab ids are assigned in sorted
+    token order, so the int tie key IS lexicographic order).
+    Partitioning assumption: the vocabulary table fits worker memory
+    (true even for web corpora: ~1e8 terms x 16B). The unbounded-vocab
+    alternative is the q58 postings Dataset hash-joined on token."""
+    from batch_geocode_ray.functions.text import _flat_tokens, tokens_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, parents = _flat_tokens(tokens_column(b["text"]))
+        per_doc = (pa.table({"token": flat,
+                             "doc": pa.array(parents, pa.int64())})
+                   .group_by(["token", "doc"]).aggregate([]))
+        g = per_doc.group_by("token").aggregate([("doc", "count")])
+        return g.rename_columns(["token", "df"])
+
+    df = grouped_aggregate(docs.map_batches(df_partial,
+                                            batch_format="pyarrow"),
+                           ["token"], [("df", "sum", "df")])
+    vocab = pa.concat_tables(df.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+    vocab = vocab.sort_by("token")  # index order == lexicographic order
+    vocab_tokens = vocab["token"].combine_chunks()
+    df_np = np.asarray(vocab["df"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+    ref = ray.put((vocab_tokens, df_np))
+
+    def score(b: pa.Table, *, lookup, n_total: int) -> pa.Table:
+        from batch_geocode_ray.stages.joins import _bj_lookup
+        vtok, vdf = _bj_lookup(lookup)
+        flat, parents = _flat_tokens(tokens_column(b["text"]))
+        doc = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[parents]
+        tfs = (pa.table({"tok": pc.index_in(flat, value_set=vtok),
+                         "doc_id": pa.array(doc, pa.int64())})
+               .group_by(["tok", "doc_id"]).aggregate([("doc_id", "count")]))
+        tok = np.asarray(tfs["tok"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        d = np.asarray(tfs["doc_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        tf = np.asarray(tfs.column(2).to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        # fixed-point half-up (scores are >= 0), matching _sql_fixed
+        si = np.floor(tf * np.log(n_total / vdf[tok]) * 1e4 + 0.5)
+        order = np.lexsort((tok, -si, d))
+        first = np.ones(len(order), dtype=bool)
+        ds_ = d[order]
+        first[1:] = ds_[1:] != ds_[:-1]
+        sel = order[first]
+        return pa.table({
+            "doc_id": pa.array(d[sel], pa.int64()),
+            "top_token": vtok.take(pa.array(tok[sel], pa.int64())),
+            "tfidf": pa.array(si[sel] / 1e4, pa.float64()),
+        })
+
+    out = docs.map_batches(score, batch_format="pyarrow",
+                           fn_kwargs={"lookup": ref, "n_total": n_docs})
+    return _sort_adaptive(out, "doc_id")
+
+
+SQL_Q60 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         {_sql_fixed('tf.tf * ln(nd.n * 1.0 / df.df)')} AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN nd
+), best AS (
+  SELECT doc_id, token AS top_token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, top_token, tfidf FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2165,6 +2414,11 @@ QUERIES = {
     "q53_event_type_pivot": q53_event_type_pivot,
     "q54_fuzzy_supplier_pairs": q54_fuzzy_supplier_pairs,
     "q55_customer_rollup": q55_customer_rollup,
+    "q56_dedup_clusters": q56_dedup_clusters,
+    "q57_corpus_vocab": q57_corpus_vocab,
+    "q58_token_postings": q58_token_postings,
+    "q59_text_redact": q59_text_redact,
+    "q60_tfidf_top_terms": q60_tfidf_top_terms,
 }
 
 ORACLE_SQL = {
@@ -2216,6 +2470,11 @@ ORACLE_SQL = {
     "q53_event_type_pivot": SQL_Q53,
     "q54_fuzzy_supplier_pairs": SQL_Q54,
     "q55_customer_rollup": SQL_Q55,
+    "q56_dedup_clusters": SQL_Q56,
+    "q57_corpus_vocab": SQL_Q57,
+    "q58_token_postings": SQL_Q58,
+    "q59_text_redact": SQL_Q59,
+    "q60_tfidf_top_terms": SQL_Q60,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

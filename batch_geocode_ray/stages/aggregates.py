@@ -305,3 +305,22 @@ def rollup_aggregate(ds: Dataset, keys: list[str],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def global_topk(ds: Dataset, sort_col: str, tie_col: str, k: int) -> Dataset:
+    """Global top-k rows by ``sort_col`` DESC (ties: ``tie_col`` ASC).
+
+    Per-block partial top-k bounds what the single final merge sees to
+    k x n_blocks rows — no all-to-all sort of the full table, and the
+    final task's input is O(k x blocks) regardless of input size (the
+    same shape as the reference's per-source top-N, query_funcs.py:376,
+    lifted to a whole-corpus ranking)."""
+
+    def take_top(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[(sort_col, "descending"),
+                                            (tie_col, "ascending")])
+        return b.take(idx[:k])
+
+    partials = ds.map_batches(take_top, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        take_top, batch_format="pyarrow", batch_size=None)

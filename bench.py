@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q37_distinct_urls_hll",    # sketch, tolerance-gated vs exact
     "q42_signup_followup_counts",  # keyed range (interval) join
     "q43_user_moving_avg",      # per-key ROWS-window aggregate
+    "q56_dedup_clusters",       # connected-components dedup clustering
+    "q57_corpus_vocab",         # combiner pre-agg + bounded global top-k
 ]
 
 
