@@ -113,3 +113,11 @@ def knuth_sample_mask(keys, rate_pct: int,
     k = np.asarray(keys, dtype=np.int64)
     h = (k * np.int64(mult)) % np.int64(4294967296)
     return (h % np.int64(100)) < np.int64(rate_pct)
+
+
+def knuth_bucket100(keys, mult: int = 2654435761) -> "np.ndarray":
+    """The percent bucket behind :func:`knuth_sample_mask` —
+    ``((key * mult) % 2^32) % 100`` — exposed so callers can compare
+    against a PER-ROW rate (stratified sampling, q61)."""
+    k = np.asarray(keys, dtype=np.int64)
+    return ((k * np.int64(mult)) % np.int64(4294967296)) % np.int64(100)

@@ -2354,6 +2354,133 @@ SELECT doc_id, top_token, tfidf FROM best WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q61_stratified_sample(sf_dir: str) -> Dataset:
+    """STRATIFIED deterministic sampling: per-language rates (en 10%,
+    everything else 50% — the under/over-sampling shape of corpus
+    balancing) via the Knuth percent bucket, so the oracle recomputes
+    the SAME sample row-for-row in plain BIGINT arithmetic."""
+    from batch_geocode_ray.functions.hashing import knuth_bucket100
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        bkt = knuth_bucket100(
+            np.asarray(b["doc_id"].to_numpy(zero_copy_only=False)))
+        is_en = np.asarray(pc.equal(b["lang"], "en")
+                           .to_numpy(zero_copy_only=False))
+        rate = np.where(is_en, 10, 50)
+        return b.filter(pa.array(bkt < rate))
+
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
+
+
+SQL_Q61 = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+ORDER BY doc_id
+"""
+
+
+def q62_bloom_blocklist(sf_dir: str) -> Dataset:
+    """Blocklist anti-join with a Bloom prefilter
+    (stages/joins.bloom_anti_join): lineitems whose order key is NOT in
+    the urgent-order blocklist. The bitmap is built distributed
+    (mergeable OR partials, two-level fold) and broadcast once;
+    definite misses never shuffle — only possible hits pay the exact
+    semi_anti_join. Aggregated per return flag."""
+    from batch_geocode_ray.stages.joins import bloom_anti_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_quantity"])
+    kept = bloom_anti_join(li, urgent, "l_orderkey",
+                           right_key="o_orderkey")
+    agg = grouped_aggregate(
+        kept, ["l_returnflag"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_orderkey", "count", "n_items")],
+        merge="single", sort_keys=["l_returnflag"])
+    return _round_cols(agg, {"sum_qty": 4})
+
+
+SQL_Q62 = f"""
+SELECT l_returnflag,
+       {_sql_fixed('sum(l_quantity)')} AS sum_qty,
+       count(l_orderkey) AS n_items
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q63_engaged_users(sf_dir: str) -> Dataset:
+    """INTERSECT: distinct users with BOTH a signup and a purchase
+    event. Each side reduces to its distinct key set via the
+    partial-combining aggregate; the intersection is the size-probed
+    distributed semi join (broadcast small / hash-shuffle big)."""
+    from batch_geocode_ray.stages.joins import semi_anti_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def only(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["user_id"]))
+        return f
+
+    def distinct(d: Dataset) -> Dataset:
+        return grouped_aggregate(
+            d, ["user_id"], [("user_id", "count", "_n")]
+        ).select_columns(["user_id"])
+
+    signup = distinct(ev.map_batches(only("signup"),
+                                     batch_format="pyarrow"))
+    purchase = distinct(ev.map_batches(only("purchase"),
+                                       batch_format="pyarrow"))
+    return _sort_adaptive(semi_anti_join(signup, purchase, "user_id"),
+                          "user_id")
+
+
+SQL_Q63 = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+) ORDER BY user_id
+"""
+
+
+def q64_user_event_type_sets(sf_dir: str) -> Dataset:
+    """collect_set + sorted string_agg per user
+    (stages/aggregates.grouped_collect_distinct_sorted): each user's
+    DISTINCT event types joined ','-separated in lexicographic order —
+    assembled vectorized (ListArray offsets -> Arrow binary_join),
+    never one Python call per user."""
+    from batch_geocode_ray.stages.aggregates import (
+        grouped_collect_distinct_sorted,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_collect_distinct_sorted(ev, "user_id", "event_type",
+                                          "event_types")
+    return _sort_adaptive(out, "user_id")
+
+
+SQL_Q64 = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_type) AS event_types
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2419,6 +2546,10 @@ QUERIES = {
     "q58_token_postings": q58_token_postings,
     "q59_text_redact": q59_text_redact,
     "q60_tfidf_top_terms": q60_tfidf_top_terms,
+    "q61_stratified_sample": q61_stratified_sample,
+    "q62_bloom_blocklist": q62_bloom_blocklist,
+    "q63_engaged_users": q63_engaged_users,
+    "q64_user_event_type_sets": q64_user_event_type_sets,
 }
 
 ORACLE_SQL = {
@@ -2475,6 +2606,10 @@ ORACLE_SQL = {
     "q58_token_postings": SQL_Q58,
     "q59_text_redact": SQL_Q59,
     "q60_tfidf_top_terms": SQL_Q60,
+    "q61_stratified_sample": SQL_Q61,
+    "q62_bloom_blocklist": SQL_Q62,
+    "q63_engaged_users": SQL_Q63,
+    "q64_user_event_type_sets": SQL_Q64,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -324,3 +324,57 @@ def global_topk(ds: Dataset, sort_col: str, tie_col: str, k: int) -> Dataset:
     partials = ds.map_batches(take_top, batch_format="pyarrow")
     return partials.repartition(1).map_batches(
         take_top, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_collect_distinct_sorted(ds: Dataset, key: str, val: str,
+                                    out_name: str,
+                                    sep: str = ",") -> Dataset:
+    """collect_set + sorted string_agg per key: one row per key with
+    its DISTINCT ``val`` strings joined by ``sep`` in lexicographic
+    order. Per-batch distinct-pair combiner shrinks the shuffle to one
+    row per (batch, key, val); the assembly runs under the coarse-
+    bucket exchange (never one Python call per key) and builds the
+    joined strings VECTORIZED — an Arrow ListArray from per-key offsets
+    fed to the C++ ``binary_join`` kernel."""
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        return (b.select([key, val])
+                .group_by([key, val]).aggregate([]))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(k) % np.uint64(256)).astype(np.int64)))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        t = g.select([key, val])
+        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                                 (val, "ascending")]))
+        ks = np.asarray(t[key].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        vs = t[val].combine_chunks()
+        n = len(ks)
+        # drop duplicate (key, val) pairs that met here from different
+        # batches' partials
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            eq = np.asarray(pc.equal(vs.slice(1), vs.slice(0, n - 1))
+                            .to_numpy(zero_copy_only=False))
+            dup[1:] = (ks[1:] == ks[:-1]) & eq
+        keep = ~dup
+        ks, vs = ks[keep], vs.filter(pa.array(keep))
+        starts = np.ones(len(ks), dtype=bool)
+        starts[1:] = ks[1:] != ks[:-1]
+        offs = np.concatenate([np.nonzero(starts)[0], [len(ks)]])
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vs)
+        return pa.table({
+            key: pa.array(ks[starts.nonzero()[0]], pa.int64()),
+            out_name: pc.binary_join(lst, sep),
+        })
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    return _bucketed_groups(pairs, bucket, assemble)

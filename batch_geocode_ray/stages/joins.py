@@ -367,3 +367,97 @@ def broadcast_join(ds: Dataset, small: pa.Table, key: str,
                    "rename": rename},
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered anti join
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(vals: np.ndarray, m_bits: int,
+                     k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via splitmix64 double hashing (Kirsch-
+    Mitzenmacher: pos_i = h1 + i*h2 mod m)."""
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    h1 = splitmix64(vals.astype(np.uint64))
+    h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15))
+    ks = np.arange(k_hashes, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def build_bloom(keys_ds: Dataset, key: str, m_bits: int = 1 << 23,
+                k_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom bitmap over an integer key Dataset: per-batch
+    partial bitmaps (mergeable by OR), folded in a two-level tree so no
+    single task ever ORs more than ~32 bitmaps and the driver never
+    sees more than one."""
+    nbytes = m_bits // 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[key].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        bm = np.zeros(nbytes, np.uint8)
+        if len(v):
+            p = _bloom_positions(v, m_bits, k_hashes).reshape(-1)
+            np.bitwise_or.at(
+                bm, (p >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def orfold(b: pa.Table) -> pa.Table:
+        out = np.zeros(nbytes, np.uint8)
+        for x in b["bm"]:
+            out |= np.frombuffer(x.as_py(), np.uint8)
+        return pa.table({"bm": pa.array([out.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(partial, batch_format="pyarrow")
+    lvl1 = parts.repartition(32).map_batches(
+        orfold, batch_format="pyarrow", batch_size=None)
+    final = lvl1.repartition(1).map_batches(
+        orfold, batch_format="pyarrow", batch_size=None)
+    [row] = final.take_all()
+    return np.frombuffer(row["bm"], np.uint8).copy()
+
+
+def _bloom_split_fn(batch: pa.Table, *, lookup, key: str, m_bits: int,
+                    k_hashes: int, want_possible: bool) -> pa.Table:
+    bm = _bj_lookup(lookup)
+    v = np.asarray(batch[key].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    if not len(v):
+        return batch
+    p = _bloom_positions(v, m_bits, k_hashes)
+    bits = (bm[(p >> np.uint64(3)).astype(np.int64)]
+            >> (p & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+    possible = bits.all(axis=1)
+    return batch.filter(pa.array(possible if want_possible
+                                 else ~possible))
+
+
+def bloom_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
+                    right_key: str | None = None, m_bits: int = 1 << 23,
+                    k_hashes: int = 4) -> Dataset:
+    """EXACT anti join (keep ``ds`` rows whose key is NOT in
+    ``keys_ds``) with a Bloom prefilter: the bitmap broadcasts once
+    (``ray.put`` + per-worker cache), definite misses stream straight
+    through (a Bloom filter has no false negatives), and only the
+    possible-hit slice — a few % of rows at the default 1 MiB / 4-hash
+    sizing — pays the exact :func:`semi_anti_join`. The big side is
+    never shuffled for the misses.
+
+    The prefilter map runs twice over the (pruned, columnar) read — one
+    pass per branch; at corpus scale that is cheaper than materializing
+    the tagged table or shuffling everything into the exact join."""
+    right_key = right_key or key
+    bm = build_bloom(keys_ds.select_columns([right_key]), right_key,
+                     m_bits, k_hashes)
+    ref = ray.put(bm)
+    common = {"lookup": ref, "key": key, "m_bits": m_bits,
+              "k_hashes": k_hashes}
+    miss = ds.map_batches(_bloom_split_fn, batch_format="pyarrow",
+                          fn_kwargs={**common, "want_possible": False})
+    poss = ds.map_batches(_bloom_split_fn, batch_format="pyarrow",
+                          fn_kwargs={**common, "want_possible": True})
+    exact = semi_anti_join(poss, keys_ds, key, right_key=right_key,
+                           anti=True)
+    return miss.union(exact)

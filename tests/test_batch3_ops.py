@@ -1,0 +1,86 @@
+"""Bloom-prefiltered anti join and grouped collect_set assembly."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+import batch_geocode_ray.stages.dedup as dd
+from batch_geocode_ray.stages.aggregates import (
+    global_topk,
+    grouped_collect_distinct_sorted,
+)
+from batch_geocode_ray.stages.joins import bloom_anti_join, semi_anti_join
+
+
+def _keys_ds(vals):
+    return rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+
+
+def test_bloom_anti_join_exact_vs_plain():
+    rng = np.random.default_rng(3)
+    big_keys = rng.integers(0, 5000, 4000)
+    block = rng.choice(np.unique(big_keys), 120, replace=False)
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "v": pa.array(rng.normal(size=len(big_keys))),
+    })).repartition(6)
+    want = sorted((r["k"], round(r["v"], 9)) for r in
+                  semi_anti_join(big, _keys_ds(block), "k",
+                                 anti=True).take_all())
+    got = sorted((r["k"], round(r["v"], 9)) for r in
+                 bloom_anti_join(big, _keys_ds(block), "k").take_all())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_anti_join_tiny_bitmap_still_exact():
+    # a 256-bit bitmap saturates -> nearly everything becomes a
+    # "possible hit" -> the exact-verify path carries the result; the
+    # answer must not change
+    keys = list(range(400))
+    block = list(range(0, 400, 7))
+    big = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    got = sorted(r["k"] for r in
+                 bloom_anti_join(big, _keys_ds(block), "k",
+                                 m_bits=256, k_hashes=2).take_all())
+    assert got == sorted(set(keys) - set(block))
+
+
+def test_grouped_collect_distinct_sorted_both_plans(monkeypatch):
+    rng = np.random.default_rng(11)
+    users = rng.integers(0, 40, 600)
+    types = rng.choice(["view", "click", "purchase", "signup", "error"],
+                       600)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    })).repartition(7)  # adversarial block boundaries
+
+    want = {}
+    for u, t in zip(users.tolist(), types.tolist()):
+        want.setdefault(u, set()).add(t)
+    want = {u: ",".join(sorted(v)) for u, v in want.items()}
+
+    def run():
+        return {r["user_id"]: r["event_types"] for r in
+                grouped_collect_distinct_sorted(
+                    ds, "user_id", "event_type",
+                    "event_types").take_all()}
+
+    assert run() == want                       # collapsed plan
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == want                       # bucket-shuffle plan
+
+
+def test_global_topk_ties_and_bound():
+    t = pa.table({
+        "token": pa.array([f"t{i:03d}" for i in range(50)], pa.string()),
+        "n": pa.array([i % 7 for i in range(50)], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    got = [(r["token"], r["n"]) for r in
+           global_topk(ds, "n", "token", 10).take_all()]
+    want = sorted([(tok, n) for tok, n in
+                   zip(t["token"].to_pylist(), t["n"].to_pylist())],
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
