@@ -2481,6 +2481,55 @@ FROM d GROUP BY user_id ORDER BY user_id
 """
 
 
+def q65_embedding_gram(sf_dir: str) -> Dataset:
+    """Distributed Gram matrix X^T X over the embedding column — the
+    building block of PCA / whitening / linear probes at corpus scale.
+    Each block contributes ONE d x d partial via a BLAS matmul
+    (mergeable by +, so a 10^12-row corpus shuffles blocks x d^2
+    floats, never rows); the merge task sums the partials and emits
+    the matrix as (i, j, g) rows. Oracle: unnest + self-join in DuckDB
+    computes the same sums; both sides accumulate in float64 and are
+    fixed-point stabilized."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        x = flat.reshape(len(col), -1)
+        g = x.T @ x
+        return pa.table({"gm": pa.array([g.tobytes()], pa.binary()),
+                         "d": pa.array([g.shape[0]], pa.int64())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        d = b["d"][0].as_py()
+        tot = np.zeros((d, d), np.float64)
+        for x in b["gm"]:
+            tot += np.frombuffer(x.as_py(), np.float64).reshape(d, d)
+        return pa.table({
+            "i": pa.array(np.repeat(np.arange(1, d + 1), d), pa.int64()),
+            "j": pa.array(np.tile(np.arange(1, d + 1), d), pa.int64()),
+            "g": pa.array(tot.reshape(-1), pa.float64()),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow")
+    out = parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                           batch_size=None)
+    return _round_cols(out, {"g": 4})
+
+
+SQL_Q65 = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, {_sql_fixed('sum(a.x * b.x)')} AS g
+FROM e a JOIN e b USING (vec_id)
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2550,6 +2599,7 @@ QUERIES = {
     "q62_bloom_blocklist": q62_bloom_blocklist,
     "q63_engaged_users": q63_engaged_users,
     "q64_user_event_type_sets": q64_user_event_type_sets,
+    "q65_embedding_gram": q65_embedding_gram,
 }
 
 ORACLE_SQL = {
@@ -2610,6 +2660,7 @@ ORACLE_SQL = {
     "q62_bloom_blocklist": SQL_Q62,
     "q63_engaged_users": SQL_Q63,
     "q64_user_event_type_sets": SQL_Q64,
+    "q65_embedding_gram": SQL_Q65,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
