@@ -49,6 +49,28 @@ BENCH_QUERIES = [
 ]
 
 
+def weather_gauge() -> dict:
+    """Box-weather probe recorded alongside every bench line: this
+    sandbox's raw CPU is usually fine while the MEMORY subsystem swings
+    wildly (a single-threaded 512 MB memcpy measured 34 s — 0.015 GB/s —
+    in one round-3 window, 1.6 GB/s minutes earlier). Engine numbers
+    recorded in a bad window are meaningless without this context."""
+    import numpy as np
+
+    buf = np.zeros(128 << 20, np.uint8)
+    t0 = time.perf_counter()
+    buf2 = buf.copy()
+    memcpy_gbps = round((128 / 1024) / (time.perf_counter() - t0), 2)
+    del buf, buf2
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 0.25:
+        for _ in range(10000):
+            x += 1
+    spin = round(x / 0.25 / 1e6, 1)
+    return {"memcpy_gbps": memcpy_gbps, "spin_miters": spin}
+
+
 def _consume(res) -> int:
     """Force full execution; return row count."""
     from ray.data import Dataset
@@ -210,6 +232,7 @@ def main():
             "unit": "efficiency",
             "pairs": pair_reports,
             "target": ">=0.8",
+            "weather": weather_gauge(),
         }))
         return
 
@@ -286,6 +309,7 @@ def main():
         "num_cpus": NUM_CPUS,
         "pages_per_sec": round(res["flagship_pages"] / res["flagship_sec"], 1),
         "protocol": "best-of-2 per query (hypervisor noise, BASELINE.md)",
+        "weather": weather_gauge(),
     }))
 
 
