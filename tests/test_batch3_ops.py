@@ -84,3 +84,15 @@ def test_global_topk_ties_and_bound():
                    zip(t["token"].to_pylist(), t["n"].to_pylist())],
                   key=lambda x: (-x[1], x[0]))[:10]
     assert got == want
+
+
+def test_gram_partials_merge_equals_full():
+    # q65's kernel shape: per-block X^T X partials merged by + must
+    # equal the single-shot Gram matrix (pure NumPy, no Ray needed)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(100, 16)).astype(np.float32)
+    full = x.astype(np.float64).T @ x.astype(np.float64)
+    parts = [x[:37], x[37:61], x[61:]]
+    merged = sum(p.astype(np.float64).T @ p.astype(np.float64)
+                 for p in parts)
+    assert np.allclose(merged, full, rtol=0, atol=1e-9)
