@@ -2530,6 +2530,60 @@ GROUP BY 1, 2 ORDER BY i, j
 """
 
 
+def q66_daily_reconciliation(sf_dir: str) -> Dataset:
+    """FULL OUTER join (the one join type not yet exercised): daily
+    order counts reconciled against daily event counts — the two date
+    ranges barely overlap, so both null sides are real. Each side
+    reduces via the partial-combining aggregate before the join, so the
+    exchange carries days, not rows; missing sides coalesce to 0."""
+    from batch_geocode_ray.stages.dedup import join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+    events = _read(sf_dir, "events", ["ts"])
+
+    def oday(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(b["o_orderdate"], pa.date32())})
+
+    def eday(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(
+            pc.floor_temporal(b["ts"], unit="day"), pa.date32())})
+
+    o = grouped_aggregate(orders.map_batches(oday, batch_format="pyarrow"),
+                          ["day"], [("day", "count", "n_orders")])
+    e = grouped_aggregate(events.map_batches(eday, batch_format="pyarrow"),
+                          ["day"], [("day", "count", "n_events")])
+    j = o.join(e, "full_outer", num_partitions=join_partitions(),
+               on=("day",))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "day": b["day"],
+            "n_orders": pc.coalesce(pc.cast(b["n_orders"], pa.int64()),
+                                    zero),
+            "n_events": pc.coalesce(pc.cast(b["n_events"], pa.int64()),
+                                    zero),
+        })
+
+    return _sort_adaptive(j.map_batches(finalize, batch_format="pyarrow"),
+                          "day")
+
+
+SQL_Q66 = """
+WITH o AS (
+  SELECT o_orderdate AS day, count(*) AS n_orders FROM orders GROUP BY 1
+), e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(o.day, e.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e USING (day)
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2600,6 +2654,7 @@ QUERIES = {
     "q63_engaged_users": q63_engaged_users,
     "q64_user_event_type_sets": q64_user_event_type_sets,
     "q65_embedding_gram": q65_embedding_gram,
+    "q66_daily_reconciliation": q66_daily_reconciliation,
 }
 
 ORACLE_SQL = {
@@ -2661,6 +2716,7 @@ ORACLE_SQL = {
     "q63_engaged_users": SQL_Q63,
     "q64_user_event_type_sets": SQL_Q64,
     "q65_embedding_gram": SQL_Q65,
+    "q66_daily_reconciliation": SQL_Q66,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
