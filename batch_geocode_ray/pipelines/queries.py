@@ -2584,6 +2584,82 @@ ORDER BY day
 """
 
 
+def q67_grouped_distinct_hll(sf_dir: str) -> Dataset:
+    """Per-GROUP HyperLogLog (q37's tolerance gate lifted to grouped
+    form): distinct users per event type. Sketch side: one pass emits
+    (group, registers) per batch — 4 KB per (group, block), mergeable
+    by register-wise max — folded in one small task. Exact side: the
+    two-stage distinct (pair-combine -> pair groupby -> per-group
+    count). The output carries the EXACT counts (SQL-recomputable) plus
+    a per-group boolean asserting the sketch landed within 5%."""
+    import ray.data as rd_
+    from batch_geocode_ray.functions.sketches import (
+        hll_estimate,
+        hll_partial,
+    )
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    # exact: per-batch distinct pairs -> global pair distinct -> count
+    pairs = grouped_aggregate(ev, ["event_type", "user_id"],
+                              [("user_id", "count", "_c")])
+    exact = grouped_aggregate(pairs, ["event_type"],
+                              [("user_id", "count", "exact_distinct")],
+                              merge="single", sort_keys=["event_type"])
+    exact_tbl = pa.concat_tables(exact.iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+
+    # sketch: per-(group, batch) registers, merged by register-wise max
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("event_type", "count")])
+        types = g["event_type"].to_pylist()
+        et = b["event_type"]
+        regs = []
+        for t in types:
+            # pass the ARROW array: hll_partial hashes Arrow inputs and
+            # treats raw ndarrays as already-hashed uint64s
+            regs.append(hll_partial(
+                b.filter(pc.equal(et, t))["user_id"]).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "regs": pa.array(regs, pa.binary())})
+
+    def merge_regs(b: pa.Table) -> pa.Table:
+        out: dict[str, np.ndarray] = {}
+        for t, blob in zip(b["event_type"].to_pylist(),
+                           b["regs"].to_pylist()):
+            r = np.frombuffer(blob, np.uint8)
+            out[t] = np.maximum(out[t], r) if t in out else r.copy()
+        types = sorted(out)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "est": pa.array([hll_estimate(out[t]) for t in types],
+                            pa.float64()),
+        })
+
+    est = (ev.map_batches(sketch_partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(merge_regs, batch_format="pyarrow",
+                        batch_size=None))
+    est_map = {r["event_type"]: r["est"] for r in est.take_all()}
+
+    types = exact_tbl["event_type"].to_pylist()
+    exacts = exact_tbl["exact_distinct"].to_pylist()
+    ok = [e > 0 and abs(est_map.get(t, 0.0) - e) / e <= 0.05
+          for t, e in zip(types, exacts)]
+    return rd_.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "exact_distinct": pa.array(exacts, pa.int64()),
+        "hll_ok": pa.array(ok, pa.bool_()),
+    }))
+
+
+SQL_Q67 = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       true AS hll_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2655,6 +2731,7 @@ QUERIES = {
     "q64_user_event_type_sets": q64_user_event_type_sets,
     "q65_embedding_gram": q65_embedding_gram,
     "q66_daily_reconciliation": q66_daily_reconciliation,
+    "q67_grouped_distinct_hll": q67_grouped_distinct_hll,
 }
 
 ORACLE_SQL = {
@@ -2717,6 +2794,7 @@ ORACLE_SQL = {
     "q64_user_event_type_sets": SQL_Q64,
     "q65_embedding_gram": SQL_Q65,
     "q66_daily_reconciliation": SQL_Q66,
+    "q67_grouped_distinct_hll": SQL_Q67,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
