@@ -2660,6 +2660,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q68_segment_priority_cube(sf_dir: str) -> Dataset:
+    """GROUP BY CUBE: order counts/revenue by (market segment, order
+    priority) with every subtotal plane
+    (stages/aggregates.cube_aggregate — one pass over the raw rows
+    builds the fine level; the 2^k - 1 coarser planes re-aggregate the
+    already-reduced table)."""
+    from batch_geocode_ray.stages.aggregates import cube_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority",
+                    "o_totalprice"])
+    joined = broadcast_join(orders, cust, "o_custkey", ["c_mktsegment"])
+    out = cube_aggregate(joined, ["c_mktsegment", "o_orderpriority"],
+                         [("o_orderkey", "count", "n_orders"),
+                          ("o_totalprice", "sum", "sum_price")])
+    return _sort_adaptive(_round_cols(out, {"sum_price": 4}),
+                          ["c_mktsegment", "o_orderpriority"])
+
+
+SQL_Q68 = f"""
+SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(o_orderkey) AS n_orders,
+       {_sql_fixed('sum(o_totalprice)')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2732,6 +2765,7 @@ QUERIES = {
     "q65_embedding_gram": q65_embedding_gram,
     "q66_daily_reconciliation": q66_daily_reconciliation,
     "q67_grouped_distinct_hll": q67_grouped_distinct_hll,
+    "q68_segment_priority_cube": q68_segment_priority_cube,
 }
 
 ORACLE_SQL = {
@@ -2795,6 +2829,7 @@ ORACLE_SQL = {
     "q65_embedding_gram": SQL_Q65,
     "q66_daily_reconciliation": SQL_Q66,
     "q67_grouped_distinct_hll": SQL_Q67,
+    "q68_segment_priority_cube": SQL_Q68,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -249,18 +249,19 @@ def pivot_counts(ds: Dataset, group_col: str, type_col: str,
                              if merge == "single" else None)
 
 
-def rollup_aggregate(ds: Dataset, keys: list[str],
-                     specs: list[tuple[str, str, str]],
-                     sentinel: str = "ALL",
-                     merge: str = "shuffle") -> Dataset:
-    """GROUP BY ROLLUP(keys...): the fine-level aggregate plus one
-    subtotal level per key prefix and a grand total, rolled-up key
-    columns holding ``sentinel`` (SQL mirrors with
-    ``coalesce(k, sentinel)``). Ops are re-aggregable only
+def grouping_sets_aggregate(ds: Dataset, keys: list[str],
+                            specs: list[tuple[str, str, str]],
+                            sets: list[list[str]],
+                            sentinel: str = "ALL",
+                            merge: str = "shuffle") -> Dataset:
+    """GROUP BY GROUPING SETS: one output level per key subset in
+    ``sets``, absent key columns holding ``sentinel`` (SQL mirrors with
+    ``coalesce(k, sentinel)``). ROLLUP and CUBE are the prefix/powerset
+    specializations below. Ops are re-aggregable only
     (sum/min/max/count/count_rows — mean must be derived from
     sum+count by the caller).
 
-    Scale shape: ONE pass over the raw input builds the fine level
+    Scale shape: ONE pass over the raw input builds the finest level
     (partial-combine, so input never shuffles raw rows); every coarser
     level re-aggregates the already-reduced fine table — the fine
     result is materialized ONCE and shared by all levels instead of
@@ -269,7 +270,7 @@ def rollup_aggregate(ds: Dataset, keys: list[str],
     """
     for _, op, _ in specs:
         if op not in ("sum", "min", "max", "count", "count_rows"):
-            raise ValueError(f"rollup cannot re-aggregate op {op!r}")
+            raise ValueError(f"cannot re-aggregate op {op!r}")
     out_names = [out for _, _, out in specs]
 
     fine = grouped_aggregate(ds, keys, specs, merge=merge).materialize()
@@ -288,10 +289,12 @@ def rollup_aggregate(ds: Dataset, keys: list[str],
             return pa.table(cols)
         return f
 
-    levels = [fine.map_batches(project(keys), batch_format="pyarrow")]
-    for width in range(len(keys) - 1, -1, -1):
-        sub = keys[:width]
-        if sub:
+    levels = []
+    for sub in sets:
+        sub = [k for k in keys if k in sub]  # canonical order
+        if sub == keys:
+            lvl = fine
+        elif sub:
             lvl = grouped_aggregate(fine, sub, respec, merge="single")
         else:
             lvl = grouped_aggregate(
@@ -305,6 +308,31 @@ def rollup_aggregate(ds: Dataset, keys: list[str],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_aggregate(ds: Dataset, keys: list[str],
+                     specs: list[tuple[str, str, str]],
+                     sentinel: str = "ALL",
+                     merge: str = "shuffle") -> Dataset:
+    """GROUP BY ROLLUP(keys...): fine level + one subtotal per key
+    prefix + grand total (see :func:`grouping_sets_aggregate`)."""
+    sets = [keys[:w] for w in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, specs, sets,
+                                   sentinel=sentinel, merge=merge)
+
+
+def cube_aggregate(ds: Dataset, keys: list[str],
+                   specs: list[tuple[str, str, str]],
+                   sentinel: str = "ALL",
+                   merge: str = "shuffle") -> Dataset:
+    """GROUP BY CUBE(keys...): every key subset
+    (see :func:`grouping_sets_aggregate`)."""
+    import itertools
+
+    sets = [list(c) for w in range(len(keys), -1, -1)
+            for c in itertools.combinations(keys, w)]
+    return grouping_sets_aggregate(ds, keys, specs, sets,
+                                   sentinel=sentinel, merge=merge)
 
 
 def global_topk(ds: Dataset, sort_col: str, tie_col: str, k: int) -> Dataset:
