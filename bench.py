@@ -236,6 +236,10 @@ def main():
         }))
         return
 
+    if "--weather" in sys.argv:
+        print(json.dumps(weather_gauge()))
+        return
+
     if "--warm-fixture" in sys.argv:
         n = int(sys.argv[sys.argv.index("--pages") + 1])
         import ray
