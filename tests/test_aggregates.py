@@ -151,3 +151,35 @@ def test_sort_adaptive_shuffle_plan_equals_collapsed(monkeypatch):
     monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
     got = _sort_adaptive(ds, "k").take_all()
     assert [r["k"] for r in got] == [r["k"] for r in want] == list(range(500))
+
+
+def test_cube_aggregate_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    from batch_geocode_ray.stages.aggregates import cube_aggregate
+
+    rng = np.random.default_rng(9)
+    a = rng.choice(["x", "y", "z"], 300)
+    b = rng.choice(["p", "q"], 300)
+    v = rng.integers(0, 100, 300)
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "v": pa.array(v, pa.int64()),
+    })).repartition(4)
+    out = cube_aggregate(ds, ["a", "b"],
+                         [("v", "sum", "sv"), ("v", "count", "nv")])
+    got = sorted((r["a"], r["b"], r["sv"], r["nv"])
+                 for r in out.take_all())
+
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    want = []
+    for keys in [["a", "b"], ["a"], ["b"], []]:
+        if keys:
+            g = df.groupby(keys)["v"].agg(["sum", "count"]).reset_index()
+        else:
+            g = pd.DataFrame({"sum": [df["v"].sum()],
+                              "count": [len(df)]})
+        for _, row in g.iterrows():
+            want.append((row.get("a", "ALL"), row.get("b", "ALL"),
+                         int(row["sum"]), int(row["count"])))
+    assert got == sorted(want)
