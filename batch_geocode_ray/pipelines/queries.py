@@ -2693,6 +2693,79 @@ ORDER BY c_mktsegment, o_orderpriority
 """
 
 
+def q69_source_lang_entropy(sf_dir: str) -> Dataset:
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-diversity metric of a curation pipeline. The input reduces
+    to (source, lang) counts via the partial-combining aggregate; the
+    entropy arithmetic runs over that tiny reduced table in one task,
+    fixed-point stabilized on both sides."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    counts = grouped_aggregate(docs, ["source", "lang"],
+                               [("lang", "count", "c")])
+
+    def entropy(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist())
+        c = np.asarray(b["c"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        order = np.argsort(src, kind="stable")
+        src, c = src[order], c[order]
+        starts = np.ones(len(src), dtype=bool)
+        starts[1:] = src[1:] != src[:-1]
+        seg = np.cumsum(starts) - 1
+        totals = np.zeros(seg[-1] + 1 if len(seg) else 0)
+        np.add.at(totals, seg, c)
+        p = c / totals[seg]
+        ent = np.zeros(len(totals))
+        np.add.at(ent, seg, -p * np.log(p))
+        return pa.table({
+            "source": pa.array(src[starts].tolist(), pa.string()),
+            "entropy": pa.array(ent, pa.float64()),
+        })
+
+    out = counts.repartition(1).map_batches(entropy,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+    return _round_cols(out, {"entropy": 4})
+
+
+SQL_Q69 = f"""
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), n AS (
+  SELECT source, sum(c) AS n FROM c GROUP BY 1
+)
+SELECT c.source AS source,
+       {_sql_fixed('-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n))')} AS entropy
+FROM c JOIN n USING (source) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q70_event_transitions(sf_dir: str) -> Dataset:
+    """Markov transition matrix over per-user event sequences
+    (stages/windows.grouped_transition_counts): LAG-pair extraction
+    AND a per-bucket count inside the bucket exchange, so the final
+    merge sees transition-matrix rows, never events."""
+    from batch_geocode_ray.stages.windows import grouped_transition_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "event_id"])
+    return grouped_transition_counts(ev, "user_id", "ts", "event_type",
+                                     "event_id")
+
+
+SQL_Q70 = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM t WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2766,6 +2839,8 @@ QUERIES = {
     "q66_daily_reconciliation": q66_daily_reconciliation,
     "q67_grouped_distinct_hll": q67_grouped_distinct_hll,
     "q68_segment_priority_cube": q68_segment_priority_cube,
+    "q69_source_lang_entropy": q69_source_lang_entropy,
+    "q70_event_transitions": q70_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -2830,6 +2905,8 @@ ORACLE_SQL = {
     "q66_daily_reconciliation": SQL_Q66,
     "q67_grouped_distinct_hll": SQL_Q67,
     "q68_segment_priority_cube": SQL_Q68,
+    "q69_source_lang_entropy": SQL_Q69,
+    "q70_event_transitions": SQL_Q70,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

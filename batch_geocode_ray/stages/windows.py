@@ -393,3 +393,54 @@ def interarrival_stats(ds: Dataset, key_col: str, ts_col: str,
         })
 
     return _bucketed_groups(ds, bucket, gaps_in_bucket)
+
+
+def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
+                              val_col: str, order_col: str,
+                              n_buckets: int = 256) -> Dataset:
+    """Markov transition matrix: count consecutive (prev -> next)
+    ``val_col`` pairs within each key's (ts, order)-ordered row
+    sequence, summed over all keys — the SQL ``LAG() OVER (PARTITION BY
+    key ORDER BY ts, order)`` pair extraction feeding a global GROUP
+    BY. The pair extraction and a per-bucket count both happen inside
+    the bucket group fn, so the final exchange carries one row per
+    (bucket, from, to) — the transition matrix, not the events."""
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
+                       ).astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+
+    def trans_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], pa.string()),
+                          "to_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        keys = np.asarray(g[key_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        ts_us = np.asarray(g[ts_col].to_numpy(zero_copy_only=False)) \
+            .astype("datetime64[us]").astype(np.int64)
+        oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((oid, ts_us, keys))
+        keys_s = keys[order]
+        vals = g[val_col].combine_chunks().take(pa.array(order, pa.int64()))
+        same = pa.array(keys_s[1:] == keys_s[:-1])
+        frm = vals.slice(0, n - 1).filter(same)
+        to = vals.slice(1).filter(same)
+        if not len(frm):
+            return empty
+        t = (pa.table({"from_type": frm, "to_type": to})
+             .group_by(["from_type", "to_type"])
+             .aggregate([("to_type", "count")]))
+        return t.rename_columns(["from_type", "to_type", "n"])
+
+    partials = _bucketed_groups(ds, bucket, trans_in_bucket)
+    return grouped_aggregate(partials, ["from_type", "to_type"],
+                             [("n", "sum", "n")], merge="single",
+                             sort_keys=["from_type", "to_type"])
