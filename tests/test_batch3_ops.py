@@ -96,3 +96,43 @@ def test_gram_partials_merge_equals_full():
     merged = sum(p.astype(np.float64).T @ p.astype(np.float64)
                  for p in parts)
     assert np.allclose(merged, full, rtol=0, atol=1e-9)
+
+
+def test_transition_counts_both_plans(monkeypatch):
+    import datetime
+    from batch_geocode_ray.stages.windows import grouped_transition_counts
+
+    rng = np.random.default_rng(21)
+    n = 400
+    users = rng.integers(0, 25, n)
+    ts = [datetime.datetime(2024, 1, 1)
+          + datetime.timedelta(seconds=int(s))
+          for s in rng.integers(0, 100000, n)]
+    types = rng.choice(["a", "b", "c"], n)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+        "event_id": pa.array(range(n), pa.int64()),
+    })).repartition(6)
+
+    def run():
+        return sorted((r["from_type"], r["to_type"], r["n"]) for r in
+                      grouped_transition_counts(
+                          ds, "user_id", "ts", "event_type",
+                          "event_id").take_all())
+
+    # pandas reference
+    import pandas as pd
+    df = pd.DataFrame({"user_id": users, "ts": ts, "event_type": types,
+                       "event_id": range(n)})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["prev"] = df.groupby("user_id")["event_type"].shift(1)
+    want = sorted((r.prev, r.event_type, int(r.n)) for r in
+                  df.dropna(subset=["prev"])
+                  .groupby(["prev", "event_type"]).size()
+                  .reset_index(name="n").itertuples())
+
+    assert run() == want
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == want
