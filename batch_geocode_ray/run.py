@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--csv-out", default=None,
                    help="ALSO write one reference-shaped wide CSV "
                         "(small outputs only; reference utilities.py:21-31)")
+    p.add_argument("--query", default=None,
+                   help="run ONE registry query (pipelines/queries.py "
+                        "name, e.g. q15_ngram_dup_pairs) over --sf-dir "
+                        "and write its result parquet to --out")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --query mode")
     args = p.parse_args(argv)
 
     owns_ray = not ray.is_initialized()
@@ -55,6 +61,35 @@ def main(argv=None):
                  include_dashboard=False)
     from batch_geocode_ray import PipelineConfig, configure_for_throughput
     configure_for_throughput()
+
+    if args.query:
+        from ray.data import Dataset
+
+        from batch_geocode_ray.pipelines.queries import QUERIES
+
+        if args.query not in QUERIES:
+            raise SystemExit(
+                f"unknown query {args.query!r}; choose from "
+                f"{', '.join(sorted(QUERIES))}")
+        res = QUERIES[args.query](args.sf_dir)
+        os.makedirs(args.out, exist_ok=True)
+        if isinstance(res, Dataset):
+            res.write_parquet(args.out)
+            n = sum(pq.read_metadata(os.path.join(args.out, f)).num_rows
+                    for f in os.listdir(args.out)
+                    if f.endswith(".parquet"))
+        else:  # pandas / pyarrow result
+            import pyarrow as pa_
+
+            tbl = (pa_.Table.from_pandas(res)
+                   if not isinstance(res, pa_.Table) else res)
+            pq.write_table(tbl, os.path.join(args.out, "result.parquet"))
+            n = tbl.num_rows
+        print(json.dumps({"query": args.query, "rows": n,
+                          "out": args.out}))
+        if owns_ray:
+            ray.shutdown()
+        return
 
     from batch_geocode_ray.pipelines.geocode import build_geocode_pipeline
     from batch_geocode_ray.state.checkpoint import load_lineage, run_resumable
