@@ -2766,6 +2766,79 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q71_doc_repetition(sf_dir: str) -> Dataset:
+    """Repeated-trigram ratio per document — the Gopher/RefinedWeb-style
+    repetition quality signal (1 - distinct/total token trigrams).
+    Entirely in-batch: gram strings assembled with the C++
+    binary_join_element_wise kernel over shifted flat-token views, then
+    one Arrow hash group-by per batch — no shuffle, no Python loop."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from batch_geocode_ray.functions.text import (
+            _flat_tokens,
+            tokens_column,
+        )
+
+        flat, parents = _flat_tokens(tokens_column(b["text"]))
+        n = len(flat)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_unique": pa.array([], pa.int64()),
+                          "rep_ratio": pa.array([], pa.float64())})
+        if n < 3:
+            return empty
+        ok = parents[:-2] == parents[2:]
+        if not ok.any():
+            return empty
+        sel = pa.array(np.nonzero(ok)[0], pa.int64())
+        grams = pc.binary_join_element_wise(
+            flat.take(sel),
+            flat.take(pc.add(sel, 1)),
+            flat.take(pc.add(sel, 2)), " ")
+        doc = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[parents[:-2][ok]]
+        per = (pa.table({"doc_id": pa.array(doc, pa.int64()), "g": grams})
+               .group_by(["doc_id", "g"]).aggregate([("g", "count")]))
+        d = np.asarray(per["doc_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        c = np.asarray(per.column(2).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        starts = np.ones(len(d), dtype=bool)
+        starts[1:] = d[1:] != d[:-1]
+        seg = np.cumsum(starts) - 1
+        n_docs = seg[-1] + 1
+        tot = np.zeros(n_docs, np.int64)
+        uni = np.zeros(n_docs, np.int64)
+        np.add.at(tot, seg, c)
+        np.add.at(uni, seg, 1)
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_grams": pa.array(tot, pa.int64()),
+            "n_unique": pa.array(uni, pa.int64()),
+            "rep_ratio": pa.array(1.0 - uni / tot, pa.float64()),
+        })
+
+    return _sort_adaptive(docs.map_batches(f, batch_format="pyarrow"),
+                          "doc_id")
+
+
+SQL_Q71 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS g
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_unique,
+       1.0 - count(DISTINCT g) * 1.0 / count(*) AS rep_ratio
+FROM grams GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2841,6 +2914,7 @@ QUERIES = {
     "q68_segment_priority_cube": q68_segment_priority_cube,
     "q69_source_lang_entropy": q69_source_lang_entropy,
     "q70_event_transitions": q70_event_transitions,
+    "q71_doc_repetition": q71_doc_repetition,
 }
 
 ORACLE_SQL = {
@@ -2907,6 +2981,7 @@ ORACLE_SQL = {
     "q68_segment_priority_cube": SQL_Q68,
     "q69_source_lang_entropy": SQL_Q69,
     "q70_event_transitions": SQL_Q70,
+    "q71_doc_repetition": SQL_Q71,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
