@@ -2531,13 +2531,18 @@ GROUP BY 1, 2 ORDER BY i, j
 
 
 def q66_daily_reconciliation(sf_dir: str) -> Dataset:
-    """FULL OUTER join (the one join type not yet exercised): daily
-    order counts reconciled against daily event counts — the two date
-    ranges barely overlap, so both null sides are real. Each side
-    reduces via the partial-combining aggregate before the join, so the
-    exchange carries days, not rows; missing sides coalesce to 0."""
-    from batch_geocode_ray.stages.dedup import join_partitions
-
+    """FULL OUTER merge: daily order counts reconciled against daily
+    event counts — the two date ranges barely overlap, so both
+    "missing side" cases are real. For aggregated (unique-key) sides,
+    FULL OUTER JOIN + coalesce(0) is numerically identical to a
+    zero-padded UNION + one grouped SUM, which is the plan used here:
+    one fewer all-to-all operator class to co-schedule, and it
+    sidesteps a Ray 2.49 hash-join crash — ``KeyError('day')`` in
+    ``HashShuffleAggregator.finalize`` whenever a join partition
+    receives ZERO blocks for one side (reproducible at 32 partitions:
+    the 30-day events side leaves most partitions empty; the same
+    empty-schema failure killed the join-based connected-components
+    plan, see stages/graph.py)."""
     orders = _read(sf_dir, "orders", ["o_orderdate"])
     events = _read(sf_dir, "events", ["ts"])
 
@@ -2552,21 +2557,23 @@ def q66_daily_reconciliation(sf_dir: str) -> Dataset:
                           ["day"], [("day", "count", "n_orders")])
     e = grouped_aggregate(events.map_batches(eday, batch_format="pyarrow"),
                           ["day"], [("day", "count", "n_events")])
-    j = o.join(e, "full_outer", num_partitions=join_partitions(),
-               on=("day",))
 
-    def finalize(b: pa.Table) -> pa.Table:
-        zero = pa.scalar(0, pa.int64())
-        return pa.table({
-            "day": b["day"],
-            "n_orders": pc.coalesce(pc.cast(b["n_orders"], pa.int64()),
-                                    zero),
-            "n_events": pc.coalesce(pc.cast(b["n_events"], pa.int64()),
-                                    zero),
-        })
+    def pad(n_col: str, zero_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(b.num_rows, np.int64))
+            cols = {"day": b["day"], n_col: b[n_col], zero_col: z}
+            return pa.table({k: cols[k]
+                             for k in ("day", "n_orders", "n_events")})
+        return f
 
-    return _sort_adaptive(j.map_batches(finalize, batch_format="pyarrow"),
-                          "day")
+    merged = grouped_aggregate(
+        o.map_batches(pad("n_orders", "n_events"),
+                      batch_format="pyarrow")
+        .union(e.map_batches(pad("n_events", "n_orders"),
+                             batch_format="pyarrow")),
+        ["day"],
+        [("n_orders", "sum", "n_orders"), ("n_events", "sum", "n_events")])
+    return _sort_adaptive(merged, "day")
 
 
 SQL_Q66 = """
