@@ -34,3 +34,19 @@ def test_queries_and_oracles_consistent():
     for name, fn in qs.items():
         params = inspect.signature(fn).parameters
         assert len(params) >= 1, name
+
+
+def test_rows_only_queries_have_written_justification():
+    """Every query WITHOUT a DuckDB oracle must be justified in the
+    ORACLE_SQL comment block (driver contract: the judge sees which
+    queries are rows-only and why)."""
+    import inspect
+
+    import batch_geocode_ray.pipelines.queries as q
+
+    rows_only = set(q.QUERIES) - set(q.ORACLE_SQL)
+    src = inspect.getsource(q)
+    block = src[src.index("# Deliberately rows-only"):]
+    for name in rows_only:
+        stem = name.split("_")[0]  # e.g. "q19"
+        assert stem in block, f"{name} lacks a rows-only justification"
