@@ -2850,57 +2850,16 @@ FROM grams GROUP BY doc_id ORDER BY doc_id
 # registry
 # ---------------------------------------------------------------------------
 
+# Registry ORDER is a gating surface, not cosmetics: the driver's
+# correctness gate records the first ~50 entries only (round-3 record
+# stopped at exactly 50 of 71 — see VERDICT r3 "Next round" #1), so
+# entries without a prior driver-green row MUST surface first.
+#   Tier 1 — queries with no CORRECTNESS_r03 row (q51+ and newer).
+#   Tier 2 — flagship gates + one anchor per operator family (these
+#            keep fresh driver rows every round).
+#   Tier 3 — remainder (driver-green in r03; re-gated as budget allows).
 QUERIES = {
-    "q01_pricing_summary": q01_pricing_summary,
-    "q02_top_revenue_items": q02_top_revenue_items,
-    "q03_segment_revenue": q03_segment_revenue,
-    "q04_brand_volume": q04_brand_volume,
-    "q05_region_nation_customers": q05_region_nation_customers,
-    "q06_order_priorities": q06_order_priorities,
-    "q07_events_hourly": q07_events_hourly,
-    "q08_user_event_stats": q08_user_event_stats,
-    "q09_doc_tokens": q09_doc_tokens,
-    "q10_doc_quality": q10_doc_quality,
-    "q11_doc_langid": q11_doc_langid,
-    "q12_dedup_exact": q12_dedup_exact,
-    "q13_doc_langs": q13_doc_langs,
-    "q14_gazetteer_mentions": q14_gazetteer_mentions,
-    "q15_ngram_dup_pairs": q15_ngram_dup_pairs,
-    "q16_embed_knn": q16_embed_knn,
-    "q17_embed_neardup": q17_embed_neardup,
-    "q18_minhash_neardup": q18_minhash_neardup,
-    "q19_simhash_neardup": q19_simhash_neardup,
-    "q20_fingerprint_dedup": q20_fingerprint_dedup,
-    "q21_ivf_knn": q21_ivf_knn,
-    "q22_geocode_pages": q22_geocode_pages,
-    "q23_tile_aggregates": q23_tile_aggregates,
-    "q24_image_features": q24_image_features,
-    "q25_audio_frames": q25_audio_frames,
-    "q26_hashjoin_revenue": q26_hashjoin_revenue,
-    "q27_event_sessions": q27_event_sessions,
-    "q28_top_orders_per_segment": q28_top_orders_per_segment,
-    "q29_customers_without_urgent": q29_customers_without_urgent,
-    "q30_nations_with_presence": q30_nations_with_presence,
-    "q31_event_props": q31_event_props,
-    "q32_rasterize_events": q32_rasterize_events,
-    "q33_events_last_order": q33_events_last_order,
-    "q34_corpus_curation": q34_corpus_curation,
-    "q35_embedding_clusters": q35_embedding_clusters,
-    "q36_domain_stats": q36_domain_stats,
-    "q37_distinct_urls_hll": q37_distinct_urls_hll,
-    "q38_heavy_hitters": q38_heavy_hitters,
-    "q39_hopping_windows": q39_hopping_windows,
-    "q40_price_quantiles": q40_price_quantiles,
-    "q41_url_canonical": q41_url_canonical,
-    "q42_signup_followup_counts": q42_signup_followup_counts,
-    "q43_user_moving_avg": q43_user_moving_avg,
-    "q44_price_quantile_sketch": q44_price_quantile_sketch,
-    "q45_vet_mark_best": q45_vet_mark_best,
-    "q46_geocode_best": q46_geocode_best,
-    "q47_geocode_knn": q47_geocode_knn,
-    "q48_tile_raster": q48_tile_raster,
-    "q49_geocode_admin": q49_geocode_admin,
-    "q50_event_rank_windows": q50_event_rank_windows,
+    # --- tier 1: not yet driver-gated ---
     "q51_user_interarrival": q51_user_interarrival,
     "q52_order_sample_stats": q52_order_sample_stats,
     "q53_event_type_pivot": q53_event_type_pivot,
@@ -2922,6 +2881,58 @@ QUERIES = {
     "q69_source_lang_entropy": q69_source_lang_entropy,
     "q70_event_transitions": q70_event_transitions,
     "q71_doc_repetition": q71_doc_repetition,
+    # --- tier 2: flagship gates + operator-family anchors ---
+    "q45_vet_mark_best": q45_vet_mark_best,
+    "q46_geocode_best": q46_geocode_best,
+    "q47_geocode_knn": q47_geocode_knn,
+    "q48_tile_raster": q48_tile_raster,
+    "q49_geocode_admin": q49_geocode_admin,
+    "q22_geocode_pages": q22_geocode_pages,
+    "q23_tile_aggregates": q23_tile_aggregates,
+    "q12_dedup_exact": q12_dedup_exact,
+    "q15_ngram_dup_pairs": q15_ngram_dup_pairs,
+    "q16_embed_knn": q16_embed_knn,
+    "q17_embed_neardup": q17_embed_neardup,
+    "q18_minhash_neardup": q18_minhash_neardup,
+    "q20_fingerprint_dedup": q20_fingerprint_dedup,
+    "q26_hashjoin_revenue": q26_hashjoin_revenue,
+    "q27_event_sessions": q27_event_sessions,
+    "q28_top_orders_per_segment": q28_top_orders_per_segment,
+    "q33_events_last_order": q33_events_last_order,
+    "q34_corpus_curation": q34_corpus_curation,
+    "q37_distinct_urls_hll": q37_distinct_urls_hll,
+    "q38_heavy_hitters": q38_heavy_hitters,
+    "q44_price_quantile_sketch": q44_price_quantile_sketch,
+    "q40_price_quantiles": q40_price_quantiles,
+    "q41_url_canonical": q41_url_canonical,
+    "q42_signup_followup_counts": q42_signup_followup_counts,
+    "q43_user_moving_avg": q43_user_moving_avg,
+    "q39_hopping_windows": q39_hopping_windows,
+    "q32_rasterize_events": q32_rasterize_events,
+    "q31_event_props": q31_event_props,
+    "q36_domain_stats": q36_domain_stats,
+    # --- tier 3: driver-green in r03 ---
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_items": q02_top_revenue_items,
+    "q03_segment_revenue": q03_segment_revenue,
+    "q04_brand_volume": q04_brand_volume,
+    "q05_region_nation_customers": q05_region_nation_customers,
+    "q06_order_priorities": q06_order_priorities,
+    "q07_events_hourly": q07_events_hourly,
+    "q08_user_event_stats": q08_user_event_stats,
+    "q09_doc_tokens": q09_doc_tokens,
+    "q10_doc_quality": q10_doc_quality,
+    "q11_doc_langid": q11_doc_langid,
+    "q13_doc_langs": q13_doc_langs,
+    "q14_gazetteer_mentions": q14_gazetteer_mentions,
+    "q19_simhash_neardup": q19_simhash_neardup,
+    "q21_ivf_knn": q21_ivf_knn,
+    "q24_image_features": q24_image_features,
+    "q25_audio_frames": q25_audio_frames,
+    "q29_customers_without_urgent": q29_customers_without_urgent,
+    "q30_nations_with_presence": q30_nations_with_presence,
+    "q35_embedding_clusters": q35_embedding_clusters,
+    "q50_event_rank_windows": q50_event_rank_windows,
 }
 
 ORACLE_SQL = {
