@@ -71,6 +71,32 @@ def weather_gauge() -> dict:
     return {"memcpy_gbps": memcpy_gbps, "spin_miters": spin}
 
 
+# Below this memcpy rate the box is inside a hypervisor memory-reclaim
+# window and engine numbers are meaningless (BASELINE.md round-3
+# instrumentation: the same commit measured 84k vs 606k pages/s across
+# one such window). The bench GATES on it instead of just recording it.
+MIN_MEMCPY_GBPS = 1.0
+WEATHER_ATTEMPTS = int(os.environ.get("BGR_WEATHER_ATTEMPTS", "3"))
+WEATHER_SETTLE_SEC = float(os.environ.get("BGR_WEATHER_SETTLE", "12"))
+
+
+def timed_section(run_best_of: "callable", attempts: int | None = None):
+    """Run one timed section gauge-gated: probe the weather first; if
+    the box is in a reclaim window, sync + settle and re-probe (bounded
+    attempts), so recorded numbers come from a healthy window whenever
+    one exists. Returns (result_of_run, section_weather_ok)."""
+    attempts = WEATHER_ATTEMPTS if attempts is None else attempts
+    for attempt in range(attempts):
+        ok = weather_gauge()["memcpy_gbps"] >= MIN_MEMCPY_GBPS
+        if ok or attempt == attempts - 1:
+            # last attempt runs regardless — a record stamped
+            # weather_ok=false beats no record
+            return run_best_of(), ok
+        subprocess.run(["sync"], check=False)
+        time.sleep(WEATHER_SETTLE_SEC)
+    raise AssertionError("unreachable")
+
+
 def _consume(res) -> int:
     """Force full execution; return row count."""
     from ray.data import Dataset
@@ -129,15 +155,21 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     # ~40s and keep one bad window from polluting the whole record
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    all_ok = True
     for name in names:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows[name] = _consume(QUERIES[name](sf_dir))
-            sec = round(time.perf_counter() - t0, 3)
-            best = sec if best is None else min(best, sec)
-        timings[name] = best
-        print(f"  {name}: {timings[name]:.2f}s rows={rows[name]}",
+        def best_of_two(name=name):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows[name] = _consume(QUERIES[name](sf_dir))
+                sec = round(time.perf_counter() - t0, 3)
+                best = sec if best is None else min(best, sec)
+            return best
+
+        timings[name], ok = timed_section(best_of_two)
+        all_ok = all_ok and ok
+        print(f"  {name}: {timings[name]:.2f}s rows={rows[name]}"
+              + ("" if ok else " [BAD WEATHER]"),
               file=sys.stderr, flush=True)
 
     # representative flagship throughput: a page count large enough that
@@ -155,20 +187,29 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
                 pass
     import shutil
     out_dir = os.environ.get("BGR_BENCH_OUT", "/dev/shm/bgr_bench_out")
-    flagship_sec = None
-    for _ in range(2):  # best-of-2, same rationale as the query loop
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        build_geocode_pipeline(
-            f"{d}/pages", world.gazetteer, admin_polygons=world.admin_polygons,
-            facilities=world.facilities, with_knn=True).write_parquet(out_dir)
-        sec = round(time.perf_counter() - t0, 3)
-        flagship_sec = sec if flagship_sec is None else min(flagship_sec, sec)
+
+    def flagship_best_of_two():
+        best = None
+        for _ in range(2):  # best-of-2, same rationale as the query loop
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_geocode_pipeline(
+                f"{d}/pages", world.gazetteer,
+                admin_polygons=world.admin_polygons,
+                facilities=world.facilities, with_knn=True
+            ).write_parquet(out_dir)
+            sec = round(time.perf_counter() - t0, 3)
+            best = sec if best is None else min(best, sec)
+        return best
+
+    flagship_sec, ok = timed_section(flagship_best_of_two)
+    all_ok = all_ok and ok
     timings[f"flagship_{big_n}pages"] = flagship_sec
     rows[f"flagship_{big_n}pages"] = big_n
-    print(f"  flagship_{big_n}: {flagship_sec:.2f}s", file=sys.stderr, flush=True)
+    print(f"  flagship_{big_n}: {flagship_sec:.2f}s"
+          + ("" if ok else " [BAD WEATHER]"), file=sys.stderr, flush=True)
     ray.shutdown()
-    return {"timings": timings, "rows": rows,
+    return {"timings": timings, "rows": rows, "weather_ok": all_ok,
             "flagship_pages": big_n, "flagship_sec": flagship_sec}
 
 
@@ -210,9 +251,15 @@ def main():
                            "--pages", str(n)]
                     if _sh.which("taskset"):
                         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-                    out = subprocess.run(cmd, capture_output=True, text=True,
-                                         check=True)
-                    rec = json.loads(out.stdout.strip().splitlines()[-1])
+
+                    def run_level(cmd=cmd):
+                        out = subprocess.run(cmd, capture_output=True,
+                                             text=True, check=True)
+                        return json.loads(
+                            out.stdout.strip().splitlines()[-1])
+
+                    rec, rec_ok = timed_section(run_level)
+                    rec["weather_ok"] = rec_ok
                     print(f"pair({lo},{hi}) rep{r} cpus={cpus}: {rec}",
                           file=sys.stderr)
                     if cpus not in best or rec["sec"] < best[cpus]["sec"]:
@@ -312,7 +359,10 @@ def main():
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "pages_per_sec": round(res["flagship_pages"] / res["flagship_sec"], 1),
-        "protocol": "best-of-2 per query (hypervisor noise, BASELINE.md)",
+        "protocol": "best-of-2 per query, each section gauge-gated "
+                    f"(retry until memcpy >= {MIN_MEMCPY_GBPS} GB/s, "
+                    f"max {WEATHER_ATTEMPTS} attempts; BASELINE.md)",
+        "weather_ok": res["weather_ok"],
         "weather": weather_gauge(),
     }))
 
