@@ -1015,7 +1015,7 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # gates 3+4 are per-row; compute once
+    # gates 3+4 are per-row; cheap vectorized kernels
     def gates(b: pa.Table) -> pa.Table:
         q = quality_table(b["text"])
         lang = langid_table(b["text"])["pred_lang"]
@@ -1028,14 +1028,22 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
         })
         return t.filter(pa.array(keep))
 
-    # ONE shared materialization feeds both dedup branches
-    gated = docs.map_batches(gates, batch_format="pyarrow").materialize()
+    # NOT materialized: pinning the gated (doc_id, text) corpus in the
+    # object store is O(corpus)-bytes residency at 100 TB (VERDICT r3).
+    # Each consumer re-streams the column-pruned read + gates instead —
+    # three passes of cheap vectorized compute, zero residency; the
+    # dedup ops below reduce to small derived tables (hashes, grams)
+    # before any shuffle, so nothing corpus-sized ever lands at rest.
+    gated = docs.map_batches(gates, batch_format="pyarrow")
+    # join/left side never needs the text — keep the exchange narrow
+    slim = gated.map_batches(lambda b: b.drop_columns(["text"]),
+                             batch_format="pyarrow")
 
     # gate 1: exact-dedup survivors — the kept-id set STAYS a Dataset
-    # (size-probed semi join: broadcast when small, shuffle left_semi at
+    # (size-probed semi join: broadcast when small, bucket-exchange at
     # scale; never an O(N) driver collect)
     survivors = exact_dedup(gated, "text", "doc_id")
-    step1 = semi_anti_join(gated, survivors, "doc_id")
+    step1 = semi_anti_join(slim, survivors, "doc_id")
 
     # gate 2: drop the larger-id side of near-dup pairs (anti join
     # against the pairs Dataset's d2 column, same adaptive plan)

@@ -371,36 +371,52 @@ def grouped_collect_distinct_sorted(ds: Dataset, key: str, val: str,
         return (b.select([key, val])
                 .group_by([key, val]).aggregate([]))
 
-    def bucket(b: pa.Table) -> pa.Table:
-        k = np.asarray(b[key].to_numpy(zero_copy_only=False)) \
-            .astype(np.uint64)
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
+        col = b[key]
+        if pa.types.is_integer(col.type):
+            k = np.asarray(col.to_numpy(zero_copy_only=False)) \
+                .astype(np.uint64)
+            h = splitmix64(k)
+        else:
+            from batch_geocode_ray.functions.hashing import (
+                stable_hash64_array,
+            )
+
+            h = stable_hash64_array(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
         return b.append_column(
-            "_bucket",
-            pa.array((splitmix64(k) % np.uint64(256)).astype(np.int64)))
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
 
     def assemble(g: pa.Table) -> pa.Table:
         t = g.select([key, val])
         t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"),
                                                  (val, "ascending")]))
-        ks = np.asarray(t[key].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
+        ks = t[key].combine_chunks()  # any Arrow type; segments via equal
         vs = t[val].combine_chunks()
         n = len(ks)
         # drop duplicate (key, val) pairs that met here from different
         # batches' partials
         dup = np.zeros(n, dtype=bool)
+        key_eq = (np.asarray(pc.equal(ks.slice(1), ks.slice(0, n - 1))
+                             .to_numpy(zero_copy_only=False))
+                  if n > 1 else np.zeros(0, dtype=bool))
         if n > 1:
             eq = np.asarray(pc.equal(vs.slice(1), vs.slice(0, n - 1))
                             .to_numpy(zero_copy_only=False))
-            dup[1:] = (ks[1:] == ks[:-1]) & eq
+            dup[1:] = key_eq & eq
         keep = ~dup
-        ks, vs = ks[keep], vs.filter(pa.array(keep))
-        starts = np.ones(len(ks), dtype=bool)
-        starts[1:] = ks[1:] != ks[:-1]
-        offs = np.concatenate([np.nonzero(starts)[0], [len(ks)]])
+        ks, vs = ks.filter(pa.array(keep)), vs.filter(pa.array(keep))
+        m = len(ks)
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = ~np.asarray(
+                pc.equal(ks.slice(1), ks.slice(0, m - 1))
+                .to_numpy(zero_copy_only=False))
+        offs = np.concatenate([np.nonzero(starts)[0], [m]])
         lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vs)
         return pa.table({
-            key: pa.array(ks[starts.nonzero()[0]], pa.int64()),
+            key: ks.take(pa.array(np.nonzero(starts)[0], pa.int64())),
             out_name: pc.binary_join(lst, sep),
         })
 

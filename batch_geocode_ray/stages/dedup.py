@@ -54,6 +54,24 @@ from batch_geocode_ray.functions.text import tokens_column
 # fixed cost per all-to-all operator. Above it, the shuffle plan runs.
 SMALL_COLLAPSE_BYTES = 256 << 20
 
+# One coarse bucket = one ``map_groups`` task = the whole bucket
+# resident in one worker's heap. A FIXED bucket count therefore puts
+# input_bytes / n_buckets in one task — ~100 GB/bucket at 100 TB with
+# the old constant 1024. Size the exchange instead: enough buckets that
+# a bucket holds ~TARGET_BUCKET_BYTES, floored at 1024 so small inputs
+# keep their cheap fan-out.
+TARGET_BUCKET_BYTES = 32 << 20
+
+
+def adaptive_bucket_count(size_bytes: int, floor: int = 1024,
+                          target_bytes: int | None = None) -> int:
+    """Bucket count for a coarse-bucket exchange over ``size_bytes`` of
+    shuffled rows: grows linearly with input so per-bucket residency
+    stays ~``target_bytes`` at any scale."""
+    if target_bytes is None:
+        target_bytes = TARGET_BUCKET_BYTES  # read at call time (testable)
+    return max(floor, int(size_bytes or 0) // target_bytes + 1)
+
 
 def _probe_small(ds: Dataset, small_bytes: int | None = None):
     """Materialize and report (materialized_ds, fits_one_task)."""
@@ -84,6 +102,111 @@ def join_partitions(cap: int = 64) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus))
+
+
+# ---------------------------------------------------------------------------
+# bucket-exchange lookup join
+# ---------------------------------------------------------------------------
+
+def _bucket_lookup_join(requests: Dataset, req_key: str,
+                        source: Dataset, source_key: str,
+                        payload: dict[str, str],
+                        missing: str = "error") -> Dataset:
+    """Attach ``payload`` columns (``{source_col: out_col}``) from
+    ``source`` onto every ``requests`` row whose ``req_key`` equals the
+    source row's ``source_key`` — an equi-join expressed as the repo's
+    coarse-bucket exchange instead of ``Dataset.join``.
+
+    Why not the native join: Ray 2.49's hash-shuffle join feeds acero
+    per partition and CRASHES ('No match for FieldRef') whenever one
+    side delivers zero blocks to a partition — guaranteed for the
+    low-cardinality candidate sides these verify steps produce
+    (CLAUDE.md). The exchange here shuffles the same O(source +
+    requests) rows once, collapses to one task below the small probe,
+    and is empty-safe.
+
+    Requirements: int64 keys; a request key should appear ONCE in
+    ``source`` for 1:1 payload semantics (with duplicate source keys an
+    arbitrary one attaches — fine for membership flags). Source rows
+    without requests emit nothing. ``missing``: "error" raises on a
+    request key absent from source; "null" attaches typed nulls (left
+    semantics)."""
+    from batch_geocode_ray.functions.hashing import splitmix64
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    req_schema = requests.schema()
+    req_names = list(req_schema.names)
+    req_types = dict(zip(req_schema.names, req_schema.types))
+    src_schema = source.schema()
+    src_types = dict(zip(src_schema.names, src_schema.types))
+    out_payload = [(sc, oc) for sc, oc in payload.items()]
+    all_cols = req_names + [oc for _, oc in out_payload]
+
+    def as_carrier(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__lk_k": pc.cast(b[source_key], pa.int64()),
+                "__lk_r": pa.array(np.zeros(n, np.int8))}
+        for c in req_names:
+            cols[c] = pa.nulls(n, req_types[c])
+        for sc, oc in out_payload:
+            cols[oc] = b[sc]
+        return pa.table(cols)
+
+    def as_request(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__lk_k": pc.cast(b[req_key], pa.int64()),
+                "__lk_r": pa.array(np.ones(n, np.int8))}
+        for c in req_names:
+            cols[c] = b[c]
+        for sc, oc in out_payload:
+            cols[oc] = pa.nulls(n, src_types[sc])
+        return pa.table(cols)
+
+    rows = (source.map_batches(as_carrier, batch_format="pyarrow")
+            .union(requests.map_batches(as_request,
+                                        batch_format="pyarrow")))
+
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
+        k = np.asarray(b["__lk_k"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(k) % np.uint64(nb)).astype(np.int64)))
+
+    def attach(g: pa.Table) -> pa.Table:
+        if "_bucket" in g.column_names:
+            g = g.drop_columns(["_bucket"])
+        k = np.asarray(g["__lk_k"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        r = np.asarray(g["__lk_r"].to_numpy(zero_copy_only=False),
+                       dtype=np.int8)
+        order = np.lexsort((r, k))  # carriers (0) first per key segment
+        ks, rs = k[order], r[order]
+        g2 = g.take(pa.array(order, pa.int64()))
+        seg_start = np.ones(len(ks), dtype=bool)
+        seg_start[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(seg_start)[0]
+        req_mask = rs == 1
+        bad = rs[starts] != 0  # segment's first row must be its carrier
+        if bad.any() and missing == "error":
+            raise ValueError(
+                f"lookup-join request key(s) {ks[starts[bad]][:5].tolist()} "
+                "have no source row")
+        seg_id = np.cumsum(seg_start) - 1
+        carrier_of = starts[seg_id]
+        has_carrier = (rs[starts] == 0)[seg_id]
+        req_idx = np.nonzero(req_mask)[0]
+        car_idx = carrier_of[req_mask]
+        car_ok = has_carrier[req_mask]
+        out = {c: g2[c].take(pa.array(req_idx, pa.int64()))
+               for c in req_names}
+        idx = (pa.array(car_idx, pa.int64()) if car_ok.all()
+               else pa.array(car_idx, pa.int64(), mask=~car_ok))
+        for _, oc in out_payload:
+            out[oc] = g2[oc].take(idx)
+        return pa.table(out).select(all_cols)
+
+    return _bucketed_groups(rows, bucket, attach)
 
 
 # ---------------------------------------------------------------------------
@@ -204,10 +327,11 @@ def fingerprint_dup_pairs(ds: Dataset, text_col: str, id_col: str,
     if small:
         return _one_task(hashed, one)
     # shuffle plan: co-locate each fingerprint bucket, emit inside
+    nb = np.uint64(adaptive_bucket_count(hashed.size_bytes() or 0))
     return (hashed.map_batches(
         lambda b: b.append_column("_bucket", pa.array(
             (np.asarray(b["fingerprint"].to_numpy(zero_copy_only=False))
-             .astype(np.uint64) % np.uint64(1024)).astype(np.int64))),
+             .astype(np.uint64) % nb).astype(np.int64))),
         batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(lambda g: one(g.drop_columns(["_bucket"])),
@@ -237,6 +361,7 @@ def _doc_grams(b: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
     ids = b[id_col].to_numpy(zero_copy_only=False)
     out_ids: list[np.ndarray] = []
     out_grams: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
     for i in range(b.num_rows):
         h = hashes[offsets[i]:offsets[i + 1]]
         if len(h) < k:
@@ -244,32 +369,62 @@ def _doc_grams(b: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
         sh = shingle_hashes(h, k)  # unique rolling k-gram hashes
         out_ids.append(np.full(len(sh), int(ids[i]), dtype=np.int64))
         out_grams.append(sh.astype(np.int64))
+        # per-doc distinct-gram count rides every gram row: the pair
+        # stage then knows |A| and |B| WITHOUT a sizes join (8 B/row of
+        # exchange width buys removing two all-to-all joins — and Ray
+        # 2.49's hash join crashes outright on an empty/low-cardinality
+        # side, which a zero-pair corpus produces)
+        out_n.append(np.full(len(sh), len(sh), dtype=np.int64))
     if not out_ids:
         return pa.table({id_col: pa.array([], pa.int64()),
-                         "gram": pa.array([], pa.int64())})
+                         "gram": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     return pa.table({
         id_col: pa.array(np.concatenate(out_ids), pa.int64()),
         "gram": pa.array(np.concatenate(out_grams), pa.int64()),
+        "n": pa.array(np.concatenate(out_n), pa.int64()),
     })
 
 
 def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.8,
-                        max_posting: int | None = None) -> Dataset:
+                        max_posting: int | None = 4096) -> Dataset:
     """EXACT k-token-gram Jaccard similarity join: all (d1 < d2) pairs
     with ``J = |∩| / |∪| >= threshold``.
 
     Pipeline: explode distinct grams -> groupby(gram) -> pairwise
-    co-occurrence (per posting list; ``max_posting`` caps hot grams when
-    set) -> groupby(pair) count -> finalize with broadcast per-doc gram
-    counts. Output: (d1, d2, jaccard) sorted by (d1, d2).
+    co-occurrence per posting list -> groupby(pair) count -> finalize
+    with the per-doc gram-count Dataset.
+    Output: (d1, d2, jaccard) sorted by (d1, d2).
+
+    **Hot-gram governor** (``max_posting``, default on): a gram shared
+    by P documents emits P(P-1)/2 pair rows — one boilerplate trigram
+    over 10^9 docs and the bucket never finishes. Posting lists longer
+    than ``max_posting`` emit NO pairs; instead their member docs are
+    marked hot and escalated:
+
+      * pairs with at most one hot member keep EXACT counting-path
+        semantics — every gram such a pair shares lives in an uncapped
+        posting (both docs carry it; a capped gram would make both
+        hot), so its shared-count is complete;
+      * hot×hot pairs are re-discovered by the MinHash LSH path with
+        ``verify="trigram"`` (exact Jaccard recomputed per candidate —
+        the q18-vs-q15 equivalence), so values stay exact and recall
+        follows the LSH S-curve (P(miss) < 1e-30 at J >= 0.8 with the
+        default 32x4 banding).
+
+    The governor binds in the DISTRIBUTED plan; the small-collapse
+    one-task plan is exact by brute force (bounded by the probe).
+    ``max_posting=None`` disables it (the pre-round-4 behavior).
     """
     grams, small = _probe_small(ds.map_batches(
         lambda b: _doc_grams(b, text_col, id_col, k),
         batch_format="pyarrow"))  # materialized: reused twice (sizes + pairs)
 
     if small:
-        # whole similarity join in one task over the (id, gram) table
+        # whole similarity join in one task over the (id, gram) table;
+        # input measured < SMALL_COLLAPSE_BYTES so the quadratic emit
+        # is memory-bounded and the governor is unnecessary
         def all_pairs(b: pa.Table) -> pa.Table:
             g = np.asarray(b["gram"].to_numpy(zero_copy_only=False),
                            dtype=np.int64)
@@ -284,8 +439,6 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
             d1s, d2s = [], []
             for si in np.nonzero(lens > 1)[0]:
                 seg = ids[bounds[si]:bounds[si + 1]]
-                if max_posting is not None and len(seg) > max_posting:
-                    continue
                 a, b_ = np.triu_indices(len(seg), k=1)
                 d1s.append(seg[a])
                 d2s.append(seg[b_])
@@ -314,17 +467,12 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
 
         return _one_task(grams, all_pairs)
 
-    # per-doc distinct-gram counts: one int64 row per doc — a DATASET,
-    # joined onto the pair counts by hash shuffle below (a driver
-    # collect + broadcast would be O(N)·8B driver memory at 10^12 docs)
-    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n"))
-
     # Coarse-bucket the grams (gram_hash % n_buckets) so the groupby
     # runs the Python hook ~n_buckets times, NOT once per distinct gram
     # (millions). Inside a bucket, segment boundaries over the sorted
     # (gram, id) arrays find each gram's posting list vectorized; only
     # multi-doc segments (the rare shared grams) loop.
-    n_buckets = 1024
+    n_buckets = adaptive_bucket_count(grams.size_bytes() or 0)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         g = np.asarray(b["gram"].to_numpy(zero_copy_only=False)).astype(np.uint64)
@@ -332,43 +480,88 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
             "_bucket", pa.array((g % np.uint64(n_buckets)).astype(np.int64)))
 
     def emit_pairs_bucket(group: pa.Table) -> pa.Table:
+        """Pair rows (with both docs' gram counts) for uncapped
+        postings; capped postings emit their member docs as hot markers
+        (d2 == -1) instead of O(P^2) pairs. Assumes nonnegative doc ids
+        (true of every id column in this repo)."""
         g = np.asarray(group["gram"].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
         ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
+        ns = np.asarray(group["n"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
         order = np.lexsort((ids, g))
-        g, ids = g[order], ids[order]
+        g, ids, ns = g[order], ids[order], ns[order]
         bounds = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1, [len(g)]])
         lens = np.diff(bounds)
-        d1s, d2s = [], []
+        d1s, d2s, n1s, n2s = [], [], [], []
         for si in np.nonzero(lens > 1)[0]:
-            seg = ids[bounds[si]:bounds[si + 1]]
+            lo, hi = bounds[si], bounds[si + 1]
+            seg, seg_n = ids[lo:hi], ns[lo:hi]
             if max_posting is not None and len(seg) > max_posting:
+                hot = np.unique(seg)
+                d1s.append(hot)
+                d2s.append(np.full(len(hot), -1, dtype=np.int64))
+                n1s.append(np.zeros(len(hot), dtype=np.int64))
+                n2s.append(np.zeros(len(hot), dtype=np.int64))
                 continue
             a, b_ = np.triu_indices(len(seg), k=1)
             d1s.append(seg[a])
             d2s.append(seg[b_])
+            n1s.append(seg_n[a])
+            n2s.append(seg_n[b_])
         if not d1s:
             return pa.table({"d1": pa.array([], pa.int64()),
-                             "d2": pa.array([], pa.int64())})
+                             "d2": pa.array([], pa.int64()),
+                             "_n1": pa.array([], pa.int64()),
+                             "_n2": pa.array([], pa.int64())})
         return pa.table({"d1": pa.array(np.concatenate(d1s), pa.int64()),
-                         "d2": pa.array(np.concatenate(d2s), pa.int64())})
+                         "d2": pa.array(np.concatenate(d2s), pa.int64()),
+                         "_n1": pa.array(np.concatenate(n1s), pa.int64()),
+                         "_n2": pa.array(np.concatenate(n2s), pa.int64())})
 
-    pair_counts = (grams.map_batches(add_bucket, batch_format="pyarrow")
-                   .groupby("_bucket")
-                   .map_groups(emit_pairs_bucket, batch_format="pyarrow")
-                   .groupby(["d1", "d2"])
+    marked = (grams.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(emit_pairs_bucket, batch_format="pyarrow"))
+
+    if max_posting is not None:
+        marked = marked.materialize()  # consumed twice (hot split)
+
+        def hot_of(b: pa.Table) -> pa.Table:
+            # batch-local distinct is combiner enough: semi/anti joins
+            # below are duplicate-tolerant, no global distinct needed
+            h = np.asarray(b.filter(pc.equal(b["d2"], -1))["d1"]
+                           .to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.table({"_hot_id": pa.array(np.unique(h), pa.int64())})
+
+        hot_ids = marked.map_batches(
+            hot_of, batch_format="pyarrow").materialize()
+        n_hot = hot_ids.count()
+        pair_rows = marked.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["d2"], 0)),
+            batch_format="pyarrow")
+    else:
+        n_hot = 0
+        pair_rows = marked
+
+    # both doc sizes ride each pair row, so |∩|/|∪| finalizes straight
+    # off the (d1, d2) count — no sizes join, no join-skew surface
+    pair_counts = (pair_rows.groupby(["d1", "d2", "_n1", "_n2"])
                    .aggregate(Count(alias_name="shared")))
 
-    # finalize |∩|/|∪| with two hash joins against the sizes Dataset —
-    # shuffles O(pairs + docs) rows once, concentrates nothing
-    np_join = join_partitions()
-    joined = pair_counts.join(
-        sizes.rename_columns({id_col: "d1", "n": "_n1"}),
-        "inner", num_partitions=np_join, on=("d1",))
-    joined = joined.join(
-        sizes.rename_columns({id_col: "d2", "n": "_n2"}),
-        "inner", num_partitions=np_join, on=("d2",))
+    if n_hot:
+        # drop hot×hot pairs from the counting path (their shared-count
+        # may be missing capped grams); pairs with <= 1 hot member are
+        # complete — see docstring
+        from batch_geocode_ray.stages.joins import semi_anti_join
+
+        d1_cold = semi_anti_join(pair_counts, hot_ids, "d1",
+                                 right_key="_hot_id", anti=True)
+        d1_hot = semi_anti_join(pair_counts, hot_ids, "d1",
+                                right_key="_hot_id", anti=False)
+        d2_cold = semi_anti_join(d1_hot, hot_ids, "d2",
+                                 right_key="_hot_id", anti=True)
+        pair_counts = d1_cold.union(d2_cold)
 
     def finalize(b: pa.Table) -> pa.Table:
         d1 = np.asarray(b["d1"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -384,7 +577,18 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
             "jaccard": pa.array(j[keep], pa.float64()),
         })
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    counted = pair_counts.map_batches(finalize, batch_format="pyarrow")
+    if not n_hot:
+        return counted
+
+    # escalation: hot×hot pairs via MinHash LSH + exact trigram verify
+    from batch_geocode_ray.stages.joins import semi_anti_join as _saj
+
+    hot_docs = _saj(ds.select_columns([id_col, text_col]), hot_ids,
+                    id_col, right_key="_hot_id", anti=False)
+    escalated = minhash_lsh_pairs(hot_docs, text_col, id_col, k=k,
+                                  threshold=threshold, verify="trigram")
+    return counted.union(escalated)
 
 
 # ---------------------------------------------------------------------------
@@ -557,16 +761,20 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                 out_band.append(np.full(n, band, dtype=np.int64))
                 out_key.append(acc.astype(np.int64))
         # fold band index into the bucket hash -> ONE int64 groupby key;
-        # coarse `_bucket` keeps the Python group hook to ~1k calls
+        # coarse `_bucket` keeps the Python group hook call count at
+        # the size-probed bucket count
         combined = (np.concatenate(out_key).astype(np.uint64)
                     ^ splitmix64(np.concatenate(out_band)))
         return pa.table({
             "bkey": pa.array(combined.astype(np.int64), pa.int64()),
             "_bucket": pa.array(
-                (combined % np.uint64(1024)).astype(np.int64), pa.int64()),
+                (combined % _nb_sig).astype(np.int64), pa.int64()),
             id_col: pa.array(np.tile(ids, bands), pa.int64()),
         })
 
+    # exchange rows = bands x docs; sigs bytes upper-bound the per-doc
+    # row width, so this over- rather than under-buckets
+    _nb_sig = np.uint64(adaptive_bucket_count(sigs.size_bytes() or 0))
     buckets = sigs.map_batches(band_keys, batch_format="pyarrow")
 
     def emit_pairs_bucket(group: pa.Table) -> pa.Table:
@@ -596,21 +804,18 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             .aggregate(Count(alias_name="_dup")))  # distinct pairs
 
     if with_text:
-        # exact-verify: hash-join each candidate side against the doc
-        # texts (strings ride the join fine), recompute the true
-        # k-gram Jaccard per pair — same distributed shape as the
-        # signature verify, exact output semantics.
-        np_join = join_partitions()
-        joined = cand.join(
-            sigs.map_batches(
-                lambda b: pa.table({"d1": b[id_col], "_t1": b[text_col]}),
-                batch_format="pyarrow"),
-            "inner", num_partitions=np_join, on=("d1",))
-        joined = joined.join(
-            sigs.map_batches(
-                lambda b: pa.table({"d2": b[id_col], "_t2": b[text_col]}),
-                batch_format="pyarrow"),
-            "inner", num_partitions=np_join, on=("d2",))
+        # exact-verify: attach each candidate side's doc text via the
+        # bucket-exchange lookup join (Ray's hash join crashes on the
+        # low-cardinality candidate side — see _bucket_lookup_join),
+        # recompute the true k-gram Jaccard per pair — exact output
+        # semantics.
+        texts = sigs.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "_t": b[text_col]}),
+            batch_format="pyarrow")
+        joined = _bucket_lookup_join(cand, "d1", texts, id_col,
+                                     {"_t": "_t1"})
+        joined = _bucket_lookup_join(joined, "d2", texts, id_col,
+                                     {"_t": "_t2"})
 
         def verify_tri(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
@@ -630,13 +835,13 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
 
         return joined.map_batches(verify_tri, batch_format="pyarrow")
 
-    # verify by signature agreement: hash-join the candidate pairs
-    # against the signatures Dataset on each side. The signatures move
-    # through a shuffle ONCE per side (~1 KB/doc of shuffle traffic) —
-    # broadcasting the full signature matrix via the driver would be
-    # petabytes of per-node memory at 10^12 docs. Acero (the join
-    # kernel) can't carry list-typed payloads, so the signature rides as
-    # a packed binary blob.
+    # verify by signature agreement: attach each side's signature via
+    # the bucket-exchange lookup join (not Ray's hash join — see
+    # _bucket_lookup_join). The signatures move through the exchange
+    # ONCE per side (~1 KB/doc of shuffle traffic) — broadcasting the
+    # full signature matrix via the driver would be petabytes of
+    # per-node memory at 10^12 docs. The signature rides as a packed
+    # binary blob (fixed-size lists don't survive generic exchanges).
     def sig_to_bin(b: pa.Table, name: str, key_name: str) -> pa.Table:
         n = b.num_rows
         mat = np.ascontiguousarray(np.asarray(
@@ -650,15 +855,12 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
             [None, offsets.buffers()[1], pa.py_buffer(mat.tobytes())])
         return pa.table({key_name: b[id_col], name: blob})
 
-    np_join = join_partitions()
-    joined = cand.join(
-        sigs.map_batches(lambda b: sig_to_bin(b, "_sig1", "d1"),
-                         batch_format="pyarrow"),
-        "inner", num_partitions=np_join, on=("d1",))
-    joined = joined.join(
-        sigs.map_batches(lambda b: sig_to_bin(b, "_sig2", "d2"),
-                         batch_format="pyarrow"),
-        "inner", num_partitions=np_join, on=("d2",))
+    sig_bin = sigs.map_batches(lambda b: sig_to_bin(b, "_sig", id_col),
+                               batch_format="pyarrow")
+    joined = _bucket_lookup_join(cand, "d1", sig_bin, id_col,
+                                 {"_sig": "_sig1"})
+    joined = _bucket_lookup_join(joined, "d2", sig_bin, id_col,
+                                 {"_sig": "_sig2"})
 
     def verify(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -773,7 +975,7 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
         return pa.table({
             "bkey": pa.array(combined.astype(np.int64), pa.int64()),
             "_bucket": pa.array(
-                (combined % np.uint64(1024)).astype(np.int64), pa.int64()),
+                (combined % _nb_sim).astype(np.int64), pa.int64()),
             id_col: pa.array(np.tile(ids, 4), pa.int64()),
             "simhash": pa.array(np.tile(
                 np.asarray(b["simhash"].to_numpy(zero_copy_only=False)), 4),
@@ -815,6 +1017,8 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
             "hamming": pa.array(np.concatenate(hds), pa.int64()),
         })
 
+    # 4 banded copies of each (id, simhash) row ride the exchange
+    _nb_sim = np.uint64(adaptive_bucket_count(4 * (hashed.size_bytes() or 0)))
     return (hashed.map_batches(band_rows, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(emit_pairs_bucket, batch_format="pyarrow")
@@ -916,8 +1120,6 @@ def edit_distance_pairs(ds: Dataset, text_col: str, id_col: str,
             if v_str else np.array([], dtype=np.uint64)
         return pa.table({
             "vkey": pa.array(vh.astype(np.int64), pa.int64()),
-            "_bucket": pa.array(
-                (vh % np.uint64(1024)).astype(np.int64), pa.int64()),
             id_col: pa.array(v_ids, pa.int64()),
             "_t": pa.array(v_txt, pa.string()),
         })
@@ -963,8 +1165,14 @@ def edit_distance_pairs(ds: Dataset, text_col: str, id_col: str,
     if small:
         # in-task `seen` already de-dupes; no distinct stage needed
         return _one_task(m, pairs_in_bucket)
-    pairs = (m.groupby("_bucket")
-             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    nb = np.uint64(adaptive_bucket_count(m.size_bytes() or 0))
+    pairs = (m.map_batches(
+        lambda b: b.append_column("_bucket", pa.array(
+            (np.asarray(b["vkey"].to_numpy(zero_copy_only=False))
+             .astype(np.uint64) % nb).astype(np.int64))),
+        batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow"))
     # the same pair can verify in several buckets -> global distinct
     return (pairs.groupby(["d1", "d2"]).aggregate(Count(alias_name="_c"))
             .map_batches(lambda b: pa.table({"d1": b["d1"], "d2": b["d2"]}),

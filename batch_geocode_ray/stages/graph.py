@@ -27,17 +27,26 @@ Two physical plans behind one API (the repo-wide adaptive pattern):
   Convergence is O(log n) rounds via the jump requests.
 
 Partitioning assumption: requests for one key co-locate in one bucket
-segment; a giga-member component concentrates its jump requests on the
-root's bucket (the classic CC hot spot — the large-star/small-star
-alternation is the known mitigation if a single component outgrows a
-block).
+segment — so a giga-member component would concentrate its jump
+requests on the root's segment (the classic CC hot spot). Mitigated by
+**hot-key salting**: on large graphs each round first counts requests
+per key (per-batch combined partials -> one small aggregate, skew-free
+by construction), and any key with more than ``HOT_REQ_CAP`` requests
+has its requests salted across ``ceil(count / HOT_REQ_CAP)``
+sub-buckets with the label carrier REPLICATED into each — per-segment
+residency is bounded by the cap regardless of component size, at the
+cost of duplicating a handful of 24-byte carrier rows. (The
+large-star/small-star alternation is the textbook alternative; carrier
+replication preserves this file's 2-exchange round unchanged.)
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 from batch_geocode_ray.stages.dedup import (
@@ -47,6 +56,15 @@ from batch_geocode_ray.stages.dedup import (
 )
 
 _MAX_ROUNDS = 40  # pointer jumping ⇒ ≥ 2^40 node chains before this binds
+
+# hot-key salting knobs (giant-component mitigation, see module doc).
+# HOT_REQ_CAP: max request rows allowed in one (key, salt) cell —
+# 2^20 rows ≈ 24 MB of segment residency. HOT_DETECT_MIN_BYTES: the
+# per-round count pre-pass (one extra small aggregate) only runs when
+# the exchanged rows exceed this; small graphs keep the exact 2-exchange
+# round with zero added cost.
+HOT_REQ_CAP = 1 << 20
+HOT_DETECT_MIN_BYTES = 64 << 20
 
 
 def _minlabel_fixpoint(nodes: np.ndarray, ia: np.ndarray,
@@ -99,9 +117,6 @@ def _sym(b: pa.Table, a_col: str, b_col: str) -> pa.Table:
                      "dst": pa.array(np.concatenate([c, a]), pa.int64())})
 
 
-_N_BUCKETS = 1024
-
-
 def _propagate_bucket(g: pa.Table) -> pa.Table:
     """One bucket of the label-lookup exchange. Rows are either label
     carriers (``q == -1``: "key's label is ``lab``") or requests
@@ -119,12 +134,53 @@ def _propagate_bucket(g: pa.Table) -> pa.Table:
     seg_start[1:] = key[1:] != key[:-1]
     starts = np.nonzero(seg_start)[0]
     if not np.array_equal(q[starts], np.full(len(starts), -1)):
-        raise AssertionError("request key without a label carrier")
+        bad = key[starts[q[starts] != -1]][:5]
+        raise ValueError(
+            "connected_components invariant violated: request for key(s) "
+            f"{bad.tolist()} arrived with no label carrier in the bucket "
+            "(every requested key must already exist in the label table)")
     seg_id = np.cumsum(seg_start) - 1
     seg_lab = lab[starts]
     mask = q >= 0
     return pa.table({"node": pa.array(q[mask], pa.int64()),
                      "label": pa.array(seg_lab[seg_id[mask]], pa.int64())})
+
+
+def _hot_request_keys(reqs: Dataset, cap: int):
+    """Keys with more than ``cap`` request rows this round, as
+    (sorted_keys, split_counts) int64 arrays, or None when none.
+
+    The count runs over per-batch-combined (key, cnt) partials, so the
+    aggregate's input is at most one row per (block, key) — skew-free
+    even when one key owns every request. The driver-side collect is
+    bounded by total_requests / cap entries (a few thousand at 100 TB
+    with the default 1M cap)."""
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["key"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    counts = grouped_aggregate(
+        reqs.map_batches(partial, batch_format="pyarrow"),
+        ["key"], [("cnt", "sum", "cnt")])
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], cap)),
+        batch_format="pyarrow")
+    tbls = list(hot.iter_batches(batch_size=None, batch_format="pyarrow"))
+    t = (pa.concat_tables(tbls) if tbls
+         else pa.table({"key": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64())}))
+    if t.num_rows == 0:
+        return None
+    ks = np.asarray(t["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    cs = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ks)
+    ks, cs = ks[order], cs[order]
+    return ks, -(-cs // cap)  # ceil-divide -> sub-bucket splits per key
 
 
 def _cc_distributed(edges: Dataset, a_col: str, b_col: str) -> Dataset:
@@ -133,14 +189,53 @@ def _cc_distributed(edges: Dataset, a_col: str, b_col: str) -> Dataset:
 
     sym = edges.map_batches(
         lambda b: _sym(b, a_col, b_col), batch_format="pyarrow").materialize()
+    from batch_geocode_ray.stages.dedup import adaptive_bucket_count
+
+    n_buckets = np.uint64(adaptive_bucket_count(sym.size_bytes() or 0))
 
     def bucket(b: pa.Table) -> pa.Table:
         k = np.asarray(b["key"].to_numpy(zero_copy_only=False)) \
             .astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(k) % np.uint64(_N_BUCKETS))
-                     .astype(np.int64)))
+            pa.array((splitmix64(k) % n_buckets).astype(np.int64)))
+
+    def bucket_salted(b: pa.Table, *, hot_ref) -> pa.Table:
+        """Bucket assignment with hot keys fanned across sub-buckets:
+        request rows salt by requester id; hot label carriers replicate
+        into every sub-bucket so each (key, salt) cell is self-contained
+        for ``_propagate_bucket`` (duplicate carriers are harmless —
+        identical (key, lab) rows)."""
+        hk, hs = ray.get(hot_ref)  # sorted hot keys, splits per key
+        k = np.asarray(b["key"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        q = np.asarray(b["q"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        pos = np.minimum(np.searchsorted(hk, k), len(hk) - 1)
+        s_k = np.where(hk[pos] == k, hs[pos], 1)
+        salt = np.zeros(len(k), np.uint64)
+        req = q >= 0
+        salt[req] = (splitmix64(q[req].astype(np.uint64))
+                     % s_k[req].astype(np.uint64))
+
+        def cell(kk: np.ndarray, ss: np.ndarray) -> pa.Array:
+            c = (splitmix64(kk.astype(np.uint64)) + ss) % n_buckets
+            return pa.array(c.astype(np.int64))
+
+        car_hot = (q == -1) & (s_k > 1)
+        keep = ~car_hot
+        base = b.filter(pa.array(keep)).append_column(
+            "_bucket", cell(k[keep], salt[keep]))
+        if not car_hot.any():
+            return base
+        reps = s_k[car_hot].astype(np.int64)
+        idx = np.repeat(np.nonzero(car_hot)[0], reps)
+        # per-carrier 0..reps-1 salt ramp, fully vectorized
+        ar = (np.arange(len(idx))
+              - np.repeat(np.cumsum(reps) - reps, reps)).astype(np.uint64)
+        extra = b.take(pa.array(idx, pa.int64())).append_column(
+            "_bucket", cell(k[idx], ar))
+        return pa.concat_tables([base, extra])
 
     def min_by_node(ds: Dataset) -> Dataset:
         return grouped_aggregate(ds, ["node"],
@@ -170,6 +265,10 @@ def _cc_distributed(edges: Dataset, a_col: str, b_col: str) -> Dataset:
             "lab": pa.array(np.zeros(b.num_rows, np.int64))}),
         batch_format="pyarrow").materialize()
 
+    # giant-component mitigation only pays its count pre-pass on graphs
+    # big enough for a hot key to outgrow a task (module doc)
+    detect_hot = (edge_reqs.size_bytes() or 0) > HOT_DETECT_MIN_BYTES
+
     for _ in range(_MAX_ROUNDS):
         carriers = labels.map_batches(
             lambda b: pa.table({
@@ -183,8 +282,15 @@ def _cc_distributed(edges: Dataset, a_col: str, b_col: str) -> Dataset:
                 "lab": pa.array(np.zeros(b.num_rows, np.int64))}),
             batch_format="pyarrow")
         rows = carriers.union(edge_reqs).union(jump_reqs)
-        cands = (rows.map_batches(bucket, batch_format="pyarrow")
-                 .groupby("_bucket")
+        hot = (_hot_request_keys(edge_reqs.union(jump_reqs), HOT_REQ_CAP)
+               if detect_hot else None)
+        if hot is None:
+            bucketed = rows.map_batches(bucket, batch_format="pyarrow")
+        else:
+            bucketed = rows.map_batches(
+                bucket_salted, batch_format="pyarrow",
+                fn_kwargs={"hot_ref": ray.put(hot)})
+        cands = (bucketed.groupby("_bucket")
                  .map_groups(_propagate_bucket, batch_format="pyarrow"))
         labels = bounded(min_by_node(labels.union(cands)))
         s = labels.sum("label")

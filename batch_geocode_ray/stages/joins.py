@@ -182,8 +182,11 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
 
     Adaptive plan (size-probed, same knob as dedup's small-collapse):
     a small materialized key set broadcasts — the big side never
-    shuffles; a large one runs Ray Data's native hash-shuffle
-    ``left_semi`` / ``left_anti`` join, so the keep-set never
+    shuffles; a large one marks membership through the coarse-bucket
+    lookup exchange (``dedup._bucket_lookup_join``; NOT Ray's
+    hash-shuffle join, which crashes when a partition receives zero
+    blocks for one side — an outcome any low-cardinality/empty side
+    produces) and filters on the mark, so the keep-set never
     concentrates on the driver or any single node.
     """
     from batch_geocode_ray.stages import dedup as _dd  # single knob
@@ -194,11 +197,21 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
         tbl = pa.concat_tables(ray.get(r) for r in keys_m.to_arrow_refs())
         return broadcast_semi_anti(ds, tbl[right_key].combine_chunks(),
                                    key, anti=anti)
-    if num_partitions is None:
-        num_partitions = _dd.join_partitions()
-    return ds.join(keys_m, "left_anti" if anti else "left_semi",
-                   num_partitions=num_partitions,
-                   on=(key,), right_on=(right_key,))
+    flagged = keys_m.map_batches(
+        lambda b: pa.table({
+            right_key: b[right_key],
+            "__sa_flag": pa.array(np.ones(b.num_rows, np.int8)),
+        }), batch_format="pyarrow")
+    marked = _dd._bucket_lookup_join(ds, key, flagged, right_key,
+                                     {"__sa_flag": "__sa_flag"},
+                                     missing="null")
+
+    def keep(b: pa.Table) -> pa.Table:
+        found = pc.is_valid(b["__sa_flag"])
+        return b.filter(pc.invert(found) if anti else found) \
+                .drop_columns(["__sa_flag"])
+
+    return marked.map_batches(keep, batch_format="pyarrow")
 
 
 def broadcast_asof(ds: Dataset, small: pa.Table, key: str, ts_col: str,

@@ -144,7 +144,10 @@ def _merge_partial_topk(partials: Dataset, k: int,
         })
 
     if n_queries is not None and n_queries > SHUFFLE_MERGE_QUERIES:
-        n_buckets = 1024
+        from batch_geocode_ray.stages.dedup import adaptive_bucket_count
+
+        partials = partials.materialize()  # k-bounded rows per group
+        n_buckets = adaptive_bucket_count(partials.size_bytes() or 0)
 
         def add_bucket(b: pa.Table) -> pa.Table:
             q = np.asarray(b["query_id"].to_numpy(zero_copy_only=False),
@@ -255,7 +258,10 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
     dim = _matrix_of(first, vec_col).shape[1]
     planes = np.random.RandomState(seed).randn(n_planes, dim)
     planes_ref = ray.put(planes)
-    n_buckets = 1024
+    from batch_geocode_ray.stages.dedup import adaptive_bucket_count
+
+    # exchange carries `bands` copies of each (id, vec) row
+    n_buckets = adaptive_bucket_count(bands * (proj.size_bytes() or 0))
 
     def band_rows(b: pa.Table) -> pa.Table:
         from batch_geocode_ray.functions.hashing import splitmix64

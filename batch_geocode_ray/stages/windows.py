@@ -24,27 +24,39 @@ from ray.data import Dataset
 from batch_geocode_ray.functions.hashing import splitmix64
 
 
-def _bucketed_groups(ds: Dataset, bucket_fn, group_fn) -> Dataset:
+def _bucketed_groups(ds: Dataset, bucket_fn, group_fn,
+                     n_buckets: int | None = None) -> Dataset:
     """bucket-map -> groupby(_bucket) -> per-bucket vectorized group fn,
     with the same adaptive small-side collapse as the dedup ops: the
     group fns here lexsort and segment internally, so they are
     bucket-INDEPENDENT — below the size threshold the whole input runs
     through ``group_fn`` as ONE task, skipping the groupby all-to-all
     (~1-2 s fixed). Above it, the coarse-bucket shuffle is the
-    10^12-row plan (hook runs ~n_buckets times, never once per key)."""
-    from batch_geocode_ray.stages.dedup import _one_task, _probe_small
+    10^12-row plan (hook runs ~n_buckets times, never once per key).
+
+    ``bucket_fn(batch, n_buckets)`` receives the bucket count, which is
+    SIZE-PROBED by default (dedup.adaptive_bucket_count) so one bucket
+    never outgrows a task's memory at any input scale; pass
+    ``n_buckets`` to pin it."""
+    from batch_geocode_ray.stages.dedup import (
+        _one_task,
+        _probe_small,
+        adaptive_bucket_count,
+    )
 
     m, small = _probe_small(ds)
     if small:
         return _one_task(m, group_fn)
-    return (m.map_batches(bucket_fn, batch_format="pyarrow")
+    nb = n_buckets or adaptive_bucket_count(m.size_bytes() or 0)
+    return (m.map_batches(lambda b: bucket_fn(b, nb),
+                          batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(group_fn, batch_format="pyarrow"))
 
 
 def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
                order_col: str, gap_seconds: float = 1800.0,
-               n_buckets: int = 256) -> Dataset:
+               n_buckets: int | None = None) -> Dataset:
     """Gap-based sessions per user.
 
     A new session starts when the time since the previous event of the
@@ -53,11 +65,11 @@ def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
     n_events, sum_value). Ties in ``ts_col`` order by ``order_col``.
     """
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
         u = np.asarray(b[user_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+            pa.array((splitmix64(u) % np.uint64(nb)).astype(np.int64)))
 
     def sessions_in_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -101,12 +113,13 @@ def sessionize(ds: Dataset, user_col: str, ts_col: str, value_col: str,
             "sum_value": pa.array(sums, pa.float64()),
         })
 
-    return _bucketed_groups(ds, bucket, sessions_in_bucket)
+    return _bucketed_groups(ds, bucket, sessions_in_bucket,
+                            n_buckets=n_buckets)
 
 
 def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
                        order_col: str, value_col: str,
-                       window_rows: int = 7, n_buckets: int = 256,
+                       window_rows: int = 7, n_buckets: int | None = None,
                        out_name: str = "mov_avg") -> Dataset:
     """Per-key moving average over the ``window_rows`` preceding rows
     (inclusive), ordered by (``ts_col``, ``order_col``) — the
@@ -120,12 +133,12 @@ def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
     Output: (``order_col``, ``out_name``) — one row per input row.
     """
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
         u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
                        ).astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+            pa.array((splitmix64(u) % np.uint64(nb)).astype(np.int64)))
 
     def avg_in_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -161,7 +174,8 @@ def grouped_moving_avg(ds: Dataset, key_col: str, ts_col: str,
             out_name: pa.array(avg, pa.float64()),
         })
 
-    return _bucketed_groups(ds, bucket, avg_in_bucket)
+    return _bucketed_groups(ds, bucket, avg_in_bucket,
+                            n_buckets=n_buckets)
 
 
 def hopping_window_rows(ds: Dataset, ts_col: str, value_cols: list[str],
@@ -255,19 +269,23 @@ def grouped_topk(ds: Dataset, group_col: str, sort_col: str,
                 col.combine_chunks() if isinstance(col, pa.ChunkedArray)
                 else col)
         return b.append_column("_bucket", pa.array(
-            (splitmix64(h) % np.uint64(1024)).astype(np.int64)))
+            (splitmix64(h) % nb).astype(np.int64)))
 
     def final_bucket(g: pa.Table) -> pa.Table:
         return final(g.drop_columns(["_bucket"]))
 
-    return (partials.map_batches(bucket, batch_format="pyarrow")
+    from batch_geocode_ray.stages.dedup import adaptive_bucket_count
+
+    pm = partials.materialize()  # partials are k-bounded per group
+    nb = np.uint64(adaptive_bucket_count(pm.size_bytes() or 0))
+    return (pm.map_batches(bucket, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(final_bucket, batch_format="pyarrow"))
 
 
 def grouped_rank(ds: Dataset, key_col: str, rank_col: str,
                  tie_cols: list[str], id_col: str,
-                 n_buckets: int = 256) -> Dataset:
+                 n_buckets: int | None = None) -> Dataset:
     """Per-key ranking windows Ray Data lacks natively — the SQL triple
 
         ROW_NUMBER() OVER (PARTITION BY key
@@ -286,12 +304,12 @@ def grouped_rank(ds: Dataset, key_col: str, rank_col: str,
     one bucket of keys fits in a group's memory.
     """
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
         u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
                        ).astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+            pa.array((splitmix64(u) % np.uint64(nb)).astype(np.int64)))
 
     def rank_in_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -332,11 +350,12 @@ def grouped_rank(ds: Dataset, key_col: str, rank_col: str,
             "drnk": pa.array(drnk.astype(np.int64)),
         })
 
-    return _bucketed_groups(ds, bucket, rank_in_bucket)
+    return _bucketed_groups(ds, bucket, rank_in_bucket,
+                            n_buckets=n_buckets)
 
 
 def interarrival_stats(ds: Dataset, key_col: str, ts_col: str,
-                       order_col: str, n_buckets: int = 256) -> Dataset:
+                       order_col: str, n_buckets: int | None = None) -> Dataset:
     """Per-key LAG-gap aggregate: order each key's rows by
     (ts_col, order_col), take consecutive timestamp deltas (the SQL
     ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key ORDER BY
@@ -349,12 +368,12 @@ def interarrival_stats(ds: Dataset, key_col: str, ts_col: str,
     moves one row per input row once and the output is one row per key.
     """
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
         u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
                        ).astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+            pa.array((splitmix64(u) % np.uint64(nb)).astype(np.int64)))
 
     def gaps_in_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -392,12 +411,13 @@ def interarrival_stats(ds: Dataset, key_col: str, ts_col: str,
                                    .astype(np.int64)),
         })
 
-    return _bucketed_groups(ds, bucket, gaps_in_bucket)
+    return _bucketed_groups(ds, bucket, gaps_in_bucket,
+                            n_buckets=n_buckets)
 
 
 def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
                               val_col: str, order_col: str,
-                              n_buckets: int = 256) -> Dataset:
+                              n_buckets: int | None = None) -> Dataset:
     """Markov transition matrix: count consecutive (prev -> next)
     ``val_col`` pairs within each key's (ts, order)-ordered row
     sequence, summed over all keys — the SQL ``LAG() OVER (PARTITION BY
@@ -407,12 +427,12 @@ def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
     (bucket, from, to) — the transition matrix, not the events."""
     from batch_geocode_ray.stages.aggregates import grouped_aggregate
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
         u = np.asarray(b[key_col].to_numpy(zero_copy_only=False)
                        ).astype(np.uint64)
         return b.append_column(
             "_bucket",
-            pa.array((splitmix64(u) % np.uint64(n_buckets)).astype(np.int64)))
+            pa.array((splitmix64(u) % np.uint64(nb)).astype(np.int64)))
 
     def trans_in_bucket(g: pa.Table) -> pa.Table:
         empty = pa.table({"from_type": pa.array([], pa.string()),
@@ -440,7 +460,8 @@ def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
              .aggregate([("to_type", "count")]))
         return t.rename_columns(["from_type", "to_type", "n"])
 
-    partials = _bucketed_groups(ds, bucket, trans_in_bucket)
+    partials = _bucketed_groups(ds, bucket, trans_in_bucket,
+                                n_buckets=n_buckets)
     return grouped_aggregate(partials, ["from_type", "to_type"],
                              [("n", "sum", "n")], merge="single",
                              sort_keys=["from_type", "to_type"])

@@ -1,0 +1,180 @@
+"""Round-4 scale fixes: hot-gram governor in the n-gram Jaccard join
+and size-probed coarse-bucket counts (VERDICT r3 "What's wrong" #1/#2).
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+import batch_geocode_ray.stages.dedup as dd
+from batch_geocode_ray.stages.dedup import (
+    adaptive_bucket_count,
+    ngram_jaccard_pairs,
+)
+
+
+# ---------------------------------------------------------------------------
+# adaptive_bucket_count
+# ---------------------------------------------------------------------------
+
+def test_adaptive_bucket_count_grows_with_input():
+    assert adaptive_bucket_count(0) == 1024            # floor
+    assert adaptive_bucket_count(100 << 20) == 1024    # under floor*target
+    # 100 TB at the default 32 MB/bucket target: ~3.3M buckets, so one
+    # bucket stays ~one task's memory at any scale
+    big = adaptive_bucket_count(100 << 40)
+    assert big == (100 << 40) // dd.TARGET_BUCKET_BYTES + 1
+    # monotone in input size
+    sizes = [0, 1 << 30, 1 << 35, 1 << 40, 100 << 40]
+    counts = [adaptive_bucket_count(s) for s in sizes]
+    assert counts == sorted(counts)
+
+
+def test_adaptive_bucket_count_wired_to_probed_size(monkeypatch):
+    """The distributed n-gram plan derives its bucket count from the
+    probed gram-table size (not a constant)."""
+    seen = {}
+    real = dd.adaptive_bucket_count
+
+    def spy(size_bytes, *a, **kw):
+        seen["size"] = size_bytes
+        return real(size_bytes, *a, **kw)
+
+    monkeypatch.setattr(dd, "adaptive_bucket_count", spy)
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    docs = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"a{i} b{i} c{i} d{i}" for i in range(20)]),
+    })
+    ngram_jaccard_pairs(rd.from_arrow(docs), "text", "doc_id",
+                        k=3, threshold=0.8).materialize()
+    assert seen["size"] > 0
+
+
+# ---------------------------------------------------------------------------
+# hot-gram governor
+# ---------------------------------------------------------------------------
+
+HOT = "hotA hotB hotC"  # one planted trigram shared by ~154 docs
+
+
+def _hot_gram_docs() -> rd.Dataset:
+    ids, texts = [], []
+    for i in range(150):  # the hot clique: share ONLY the planted gram
+        ids.append(i)
+        texts.append(HOT + " " + " ".join(f"u{i}t{j}" for j in range(30)))
+    # two hot near-dup pairs (identical texts, J=1.0): all their shared
+    # grams except the planted one have posting length 2
+    for base, tag in ((200, "X"), (202, "Y")):
+        t = HOT + " " + " ".join(f"dup{tag}{j}" for j in range(20))
+        ids += [base, base + 1]
+        texts += [t, t]
+    # one COLD near-dup pair: no planted gram -> pure counting path
+    t = " ".join(f"coldZ{j}" for j in range(20))
+    ids += [300, 301]
+    texts += [t, t]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(6)
+
+
+def _pairs_of(ds) -> dict:
+    return {(r["d1"], r["d2"]): round(r["jaccard"], 9)
+            for r in ds.take_all()}
+
+
+def test_hot_gram_governor_output_exact(monkeypatch):
+    """With the governor on (capped postings escalate to LSH+trigram
+    verify), the distributed plan's output equals the ungoverned exact
+    join — the planted 154-doc gram changes the PLAN, not the result."""
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    docs = _hot_gram_docs()
+    governed = _pairs_of(ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8, max_posting=32))
+    exact = _pairs_of(ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8, max_posting=None))
+    assert exact == {(200, 201): 1.0, (202, 203): 1.0, (300, 301): 1.0}
+    assert governed == exact
+
+
+def test_hot_gram_capped_posting_emits_no_pairs(monkeypatch):
+    """Sub-quadratic proof: stub the escalation path empty and the
+    hot×hot pairs VANISH — i.e. the capped 154-doc posting emitted hot
+    markers, not its ~11.7k quadratic pair rows, and hot×hot pairs were
+    excluded from the counting path. Hot-doc detection is checked via
+    the stub's input cardinality."""
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    seen = {}
+
+    def stub(hot_docs, text_col, id_col, **kw):
+        seen["n_hot_docs"] = hot_docs.count()
+        return rd.from_arrow(pa.table({
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+
+    monkeypatch.setattr(dd, "minhash_lsh_pairs", stub)
+    got = _pairs_of(ngram_jaccard_pairs(
+        _hot_gram_docs(), "text", "doc_id", k=3, threshold=0.8,
+        max_posting=32))
+    # 150 clique docs + 4 hot near-dup docs are hot; 300/301 are not
+    assert seen["n_hot_docs"] == 154
+    assert got == {(300, 301): 1.0}  # cold pair survives via counting
+
+
+# ---------------------------------------------------------------------------
+# giant-component mitigation (hot-key salting in connected_components)
+# ---------------------------------------------------------------------------
+
+def test_cc_giant_component_bounded_bucket_segments(monkeypatch):
+    """A star component whose hub owns ~6k request rows per round (far
+    over the patched 64-row cap) still labels correctly, AND no bucket
+    ever sees a per-key request segment above 4x the cap (hash-salted
+    cells balance in expectation; 4x absorbs binomial spread). Without
+    salting the hub's segment would hold the full ~6k rows — the
+    wrapped propagate fn would raise inside the worker."""
+    import batch_geocode_ray.stages.graph as gr
+
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)  # force distributed
+    monkeypatch.setattr(gr, "HOT_DETECT_MIN_BYTES", 0)
+    cap = 64
+    monkeypatch.setattr(gr, "HOT_REQ_CAP", cap)
+    detected = {}
+    real_hot = gr._hot_request_keys
+
+    def spy_hot(reqs, c):
+        out = real_hot(reqs, c)
+        if out is not None:
+            detected["rounds"] = detected.get("rounds", 0) + 1
+        return out
+
+    monkeypatch.setattr(gr, "_hot_request_keys", spy_hot)
+    real_prop = gr._propagate_bucket
+
+    def checked(g):
+        key = np.asarray(g["key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        q = np.asarray(g["q"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        reqs = key[q >= 0]
+        if len(reqs):
+            _, c = np.unique(reqs, return_counts=True)
+            assert c.max() <= 4 * cap, \
+                f"hot segment leaked: {c.max()} requests for one key"
+        return real_prop(g)
+
+    monkeypatch.setattr(gr, "_propagate_bucket", checked)
+    n = 3000  # hub 0 <- nodes 1..n, spanning many input blocks
+    a = np.concatenate([np.zeros(n, np.int64), [7000]])
+    b = np.concatenate([np.arange(1, n + 1, dtype=np.int64), [7001]])
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+    })).repartition(8)
+    labels = {r["node"]: r["label"]
+              for r in gr.connected_components(edges, "a", "b").take_all()}
+    assert detected.get("rounds", 0) >= 1  # the mitigation actually ran
+    assert len(labels) == n + 3
+    assert all(labels[i] == 0 for i in range(n + 1))
+    assert labels[7000] == 7000 and labels[7001] == 7000
