@@ -108,16 +108,21 @@ def knuth_sample_mask(keys, rate_pct: int,
     hashing). Unlike :func:`splitmix64`-based sampling this is plain
     BIGINT arithmetic an oracle can recompute verbatim — the point is
     reproducible sampling that two independent engines agree on
-    row-for-row. Keys must be non-negative and < 2^32 so the signed
-    BIGINT product never overflows on the SQL side."""
-    k = np.asarray(keys, dtype=np.int64)
-    h = (k * np.int64(mult)) % np.int64(4294967296)
-    return (h % np.int64(100)) < np.int64(rate_pct)
+    row-for-row. Computed in uint64 (wraps mod 2^64, and 2^32 divides
+    2^64, so the mod-2^32 result is exact for ANY non-negative int64
+    key — no silent int64-overflow divergence); an oracle matching
+    keys past ~3.5e9 must widen, e.g. DuckDB
+    ``(key::HUGEINT * 2654435761) % 4294967296``."""
+    return (knuth_bucket100(keys, mult) < np.int64(rate_pct))
 
 
 def knuth_bucket100(keys, mult: int = 2654435761) -> "np.ndarray":
     """The percent bucket behind :func:`knuth_sample_mask` —
     ``((key * mult) % 2^32) % 100`` — exposed so callers can compare
-    against a PER-ROW rate (stratified sampling, q61)."""
+    against a PER-ROW rate (stratified sampling, q61). uint64
+    arithmetic: exact mod-2^32 product for any non-negative key."""
     k = np.asarray(keys, dtype=np.int64)
-    return ((k * np.int64(mult)) % np.int64(4294967296)) % np.int64(100)
+    if (k < 0).any():
+        raise ValueError("knuth_bucket100: keys must be non-negative")
+    h = (k.astype(np.uint64) * np.uint64(mult)) % np.uint64(4294967296)
+    return (h % np.uint64(100)).astype(np.int64)

@@ -33,12 +33,22 @@ from batch_geocode_ray.functions.hashing import stable_hash64_array
 # HyperLogLog
 # ---------------------------------------------------------------------------
 
-def hll_partial(values, p: int = 12) -> np.ndarray:
-    """(2^p,) uint8 register array summarizing this batch's values."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+def hll_partial(values, p: int = 12, *, pre_hashed: bool = False) -> np.ndarray:
+    """(2^p,) uint8 register array summarizing this batch's values.
+
+    Arrow inputs are hashed here (stable 64-bit). Raw ndarrays are
+    AMBIGUOUS — a caller passing unhashed ints would silently build a
+    garbage sketch — so they require ``pre_hashed=True``, asserting the
+    values already are uniform uint64 hashes."""
+    if pre_hashed:
+        h = np.asarray(values, dtype=np.uint64)
+    elif isinstance(values, (pa.Array, pa.ChunkedArray)):
         h = stable_hash64_array(values)
     else:
-        h = np.asarray(values, dtype=np.uint64)
+        raise TypeError(
+            "hll_partial: ndarray input is ambiguous — pass an Arrow "
+            "array to have values hashed, or pre_hashed=True if they "
+            "are already uniform uint64 hashes")
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(h) == 0:

@@ -1231,7 +1231,7 @@ def _distinct_exact_and_hll(ds: Dataset, col: str, p: int = 12
     def block_summary(b: pa.Table) -> pa.Table:
         h = np.asarray(b["_h"].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        regs = hll_partial(h.astype(np.uint64), p)
+        regs = hll_partial(h.astype(np.uint64), p, pre_hashed=True)
         return pa.table({
             "n": pa.array([len(h)], pa.int64()),
             "regs": pa.array([regs.tobytes()], pa.binary()),
@@ -1246,7 +1246,7 @@ def _distinct_exact_and_hll(ds: Dataset, col: str, p: int = 12
         def union_summary(b: pa.Table) -> pa.Table:
             h = np.unique(np.asarray(b["_h"].to_numpy(zero_copy_only=False),
                                      dtype=np.int64))
-            regs = hll_partial(h.astype(np.uint64), p)
+            regs = hll_partial(h.astype(np.uint64), p, pre_hashed=True)
             return pa.table({
                 "n": pa.array([len(h)], pa.int64()),
                 "regs": pa.array([regs.tobytes()], pa.binary()),
@@ -2017,7 +2017,7 @@ SELECT o_orderpriority,
        count(o_orderkey) AS n_orders,
        {_sql_fixed('sum(o_totalprice)')} AS sum_price
 FROM orders
-WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 5
+WHERE ((o_orderkey::HUGEINT * 2654435761) % 4294967296) % 100 < 5
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
@@ -2385,7 +2385,7 @@ def q61_stratified_sample(sf_dir: str) -> Dataset:
 
 SQL_Q61 = """
 SELECT doc_id, lang, n_chars FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 100 <
       CASE WHEN lang = 'en' THEN 10 ELSE 50 END
 ORDER BY doc_id
 """
@@ -2502,6 +2502,9 @@ def q65_embedding_gram(sf_dir: str) -> Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         col = b["embedding"].combine_chunks()
+        if len(col) == 0:  # reshape(-1) can't infer a dim from 0 rows
+            return pa.table({"gm": pa.array([], pa.binary()),
+                             "d": pa.array([], pa.int64())})
         flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
                           dtype=np.float64)
         x = flat.reshape(len(col), -1)
@@ -2510,6 +2513,10 @@ def q65_embedding_gram(sf_dir: str) -> Dataset:
                          "d": pa.array([g.shape[0]], pa.int64())})
 
     def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # fully empty input table
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.float64())})
         d = b["d"][0].as_py()
         tot = np.zeros((d, d), np.float64)
         for x in b["gm"]:
@@ -2631,8 +2638,8 @@ def q67_grouped_distinct_hll(sf_dir: str) -> Dataset:
         et = b["event_type"]
         regs = []
         for t in types:
-            # pass the ARROW array: hll_partial hashes Arrow inputs and
-            # treats raw ndarrays as already-hashed uint64s
+            # pass the ARROW array so hll_partial hashes the values
+            # (raw ndarrays require an explicit pre_hashed=True)
             regs.append(hll_partial(
                 b.filter(pc.equal(et, t))["user_id"]).tobytes())
         return pa.table({"event_type": pa.array(types, pa.string()),

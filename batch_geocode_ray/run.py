@@ -73,6 +73,12 @@ def main(argv=None):
                 f"{', '.join(sorted(QUERIES))}")
         res = QUERIES[args.query](args.sf_dir)
         os.makedirs(args.out, exist_ok=True)
+        stale = [f for f in os.listdir(args.out) if f.endswith(".parquet")]
+        if stale:
+            # a reused --out would mix old outputs in and over-count rows
+            raise SystemExit(
+                f"--out {args.out!r} already holds {len(stale)} parquet "
+                "file(s); pass an empty/new directory")
         if isinstance(res, Dataset):
             res.write_parquet(args.out)
             n = sum(pq.read_metadata(os.path.join(args.out, f)).num_rows

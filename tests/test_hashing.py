@@ -72,3 +72,25 @@ def test_hamming_vectorized():
     a = np.array([0b1010, 0b1111], dtype=np.uint64)
     b = np.array([0b0010, 0b0000], dtype=np.uint64)
     assert hamming64(a, b).tolist() == [1, 4]
+
+
+def test_knuth_bucket100_no_int64_overflow():
+    """Keys past ~3.5e9 used to wrap the int64 product silently; uint64
+    arithmetic keeps the mod-2^32 result exact (2^32 | 2^64). Cross-check
+    against DuckDB HUGEINT on keys straddling the old overflow point."""
+    import duckdb
+    import numpy as np
+
+    from batch_geocode_ray.functions.hashing import knuth_bucket100
+
+    keys = np.array([0, 1, 3_500_000_000, 2**40 + 17, 2**62 + 3],
+                    dtype=np.int64)
+    got = knuth_bucket100(keys)
+    want = [duckdb.sql(
+        f"SELECT (({int(k)}::HUGEINT * 2654435761) % 4294967296) % 100"
+    ).fetchone()[0] for k in keys]
+    assert got.tolist() == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        knuth_bucket100(np.array([-1], dtype=np.int64))

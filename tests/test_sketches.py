@@ -121,3 +121,20 @@ def test_quantile_sketch_bounds_and_merge():
         ra = np.searchsorted(s, a) / len(s)
         rb = np.searchsorted(s, b) / len(s)
         assert abs(ra - rb) < 0.01
+
+
+def test_hll_partial_rejects_ambiguous_ndarray():
+    import numpy as np
+    import pytest
+
+    from batch_geocode_ray.functions.sketches import hll_estimate
+
+    raw = np.arange(1000, dtype=np.int64)
+    with pytest.raises(TypeError):
+        hll_partial(raw)  # unhashed ints would build a garbage sketch
+    # explicit pre-hashed path: uniform hashes estimate ~correctly
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    est = hll_estimate(hll_partial(splitmix64(raw.astype(np.uint64)),
+                                   pre_hashed=True))
+    assert abs(est - 1000) / 1000 < 0.1
