@@ -2861,6 +2861,59 @@ FROM grams GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q72_dup_substring_pairs(sf_dir: str) -> Dataset:
+    """Substring-level exact dedup, pair form: document pairs sharing a
+    verbatim 40-character substring (suffix-array-class dedup, Lee et
+    al. 2022 — the dedup axis the document-level q12/q15/q18 family
+    can't see). Candidates from a hashed L-gram position stream, every
+    pair re-verified against the texts. See ``stages/substring.py`` for
+    why the PAIR semantic is small/medium-corpus only."""
+    from batch_geocode_ray.stages.substring import duplicate_substring_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_substring_pairs(docs, "text", "doc_id", L=40)
+
+
+SQL_Q72 = """
+WITH subs AS (
+  SELECT DISTINCT doc_id, substr(text, u.i, 40) AS s
+  FROM documents CROSS JOIN LATERAL
+       unnest(range(1, length(text) - 38)) AS u(i)
+  WHERE length(text) >= 40
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2
+FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q73_dup_substring_positions(sf_dir: str) -> Dataset:
+    """Substring-level exact dedup, span-removal form: per document,
+    how many character positions start a 40-char gram that appears
+    verbatim in >= 2 documents — the O(documents) output an actual
+    100 TB substring-dedup pass produces (mark-and-cut spans), vs
+    q72's inherently quadratic pair listing."""
+    from batch_geocode_ray.stages.substring import duplicate_position_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_position_counts(docs, "text", "doc_id", L=40)
+
+
+SQL_Q73 = """
+WITH subs AS (
+  SELECT doc_id, substr(text, u.i, 40) AS s
+  FROM documents CROSS JOIN LATERAL
+       unnest(range(1, length(text) - 38)) AS u(i)
+  WHERE length(text) >= 40
+), dup AS (
+  SELECT s FROM subs GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, count(*) AS n_dup_positions
+FROM subs WHERE s IN (SELECT s FROM dup)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2875,6 +2928,8 @@ FROM grams GROUP BY doc_id ORDER BY doc_id
 #   Tier 3 — remainder (driver-green in r03; re-gated as budget allows).
 QUERIES = {
     # --- tier 1: not yet driver-gated ---
+    "q72_dup_substring_pairs": q72_dup_substring_pairs,
+    "q73_dup_substring_positions": q73_dup_substring_positions,
     "q51_user_interarrival": q51_user_interarrival,
     "q52_order_sample_stats": q52_order_sample_stats,
     "q53_event_type_pivot": q53_event_type_pivot,
@@ -3015,6 +3070,8 @@ ORACLE_SQL = {
     "q69_source_lang_entropy": SQL_Q69,
     "q70_event_transitions": SQL_Q70,
     "q71_doc_repetition": SQL_Q71,
+    "q72_dup_substring_pairs": SQL_Q72,
+    "q73_dup_substring_positions": SQL_Q73,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

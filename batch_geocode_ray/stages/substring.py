@@ -1,0 +1,252 @@
+"""Substring-level exact dedup — the suffix-array class of
+training-data dedup (find character spans shared verbatim across
+documents), the one dedup axis `stages/dedup.py`'s document-level
+operators don't cover.
+
+The reference (`GISforHealth/batch_geocode`) has no dedup at all
+(SURVEY.md §2.8); this is engine-new surface for the large-scale
+training-data scope, after Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better"), who find exact duplicate
+substrings with a distributed suffix-array sort. The Ray Data plan here
+is the hashed analogue of that suffix sort:
+
+* one candidate row per CHARACTER position — the honest, irreducible
+  cost of substring-exact semantics (Lee et al. sort the same volume);
+  each batch reduces its positions to distinct ``(gram_hash, doc,
+  n_positions)`` rows before anything moves, so repeated grams within
+  a document never widen the exchange;
+* ONE coarse-bucket exchange (size-probed bucket count, small-collapse
+  to a single task below the probe — the repo-wide adaptive pattern)
+  co-locates each gram hash's posting list; cross-document segments
+  are found by vectorized lexsort + boundary diff.
+
+Two output semantics:
+
+* :func:`duplicate_position_counts` — per-document count of positions
+  whose L-gram appears in ≥ 2 documents (the span-removal signal).
+  Output is O(documents): THE scale semantic.
+* :func:`duplicate_substring_pairs` — distinct (d1, d2) document pairs
+  sharing ≥ 1 exact L-character substring, char-verified. NOTE the
+  pair SEMANTIC is inherently quadratic in a boilerplate clique —
+  P documents sharing one sentence truly contain P(P-1)/2 answer rows;
+  no plan can cap that without changing the answer. Use the position
+  counts at corpus scale; the pair form exists for oracle parity and
+  small/medium corpora.
+
+Hashes are 64-bit polynomial rolling hashes; the pair path re-verifies
+every candidate against the actual texts (no collision exposure), the
+count path documents the ~2^-64 per-pair collision odds instead of
+shipping L-byte grams through the exchange.
+
+Grams are UTF-8 BYTE level — identical to SQL's character semantics on
+ASCII corpora (all fixture tables are ASCII).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from batch_geocode_ray.functions.hashing import splitmix64
+
+# odd base => invertible mod 2^64, so rolling hashes come from O(n)
+# prefix sums instead of an O(n*L) sliding window
+_B = np.uint64(1099511628211)
+
+
+def _inv_u64(x: np.uint64) -> np.uint64:
+    """Modular inverse of an odd uint64 mod 2^64 (Newton iteration:
+    5 steps double the correct low bits from 5 to 64)."""
+    x = np.uint64(x)
+    inv = x  # correct to 5 low bits for odd x
+    with np.errstate(over="ignore"):
+        for _ in range(5):
+            inv = inv * (np.uint64(2) - x * inv)
+    return inv
+
+
+_B_INV = _inv_u64(_B)
+
+
+def _lgram_table(b: pa.Table, text_col: str, id_col: str,
+                 L: int) -> pa.Table:
+    """Distinct (h, doc, cnt) rows for every length-``L`` byte gram of
+    every document in the batch: ``h`` the gram's rolling hash, ``cnt``
+    how many positions of ``doc`` carry it. Fully vectorized over the
+    column's concatenated UTF-8 data buffer — no per-row Python."""
+    col = b[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    empty = pa.table({"h": pa.array([], pa.int64()),
+                      "doc": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    n_rows = len(col)
+    if n_rows == 0:
+        return empty
+    col = pc.cast(col, pa.large_string())  # one int64 offsets layout
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        col.offset:col.offset + n_rows + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    total = int(offs[-1] - offs[0])
+    if total < L:
+        return empty
+    base = offs[0]
+    by = data[base:base + total].astype(np.uint64) + np.uint64(1)
+    with np.errstate(over="ignore"):
+        # prefix q[i] = sum_{j<i} by[j] * B^-j   (all mod 2^64)
+        inv_pows = np.cumprod(
+            np.concatenate([[np.uint64(1)],
+                            np.full(total - 1, _B_INV, np.uint64)]))
+        q = np.concatenate([[np.uint64(0)],
+                            np.cumsum(by * inv_pows)])
+        # h[i] = (q[i+L] - q[i]) * B^(i+L-1): the polynomial hash of
+        # bytes [i, i+L)
+        pows = np.cumprod(np.concatenate(
+            [[np.uint64(1)], np.full(total - 1, _B, np.uint64)]))
+        npos = total - L + 1
+        h = (q[L:L + npos] - q[:npos]) * pows[L - 1:L - 1 + npos]
+    # keep positions whose window stays inside one document
+    pos = np.arange(npos, dtype=np.int64) + base
+    doc_ix = np.searchsorted(offs, pos, side="right") - 1
+    valid = pos + L <= offs[doc_ix + 1]
+    h = h[valid]
+    doc = ids[doc_ix[valid]]
+    if len(h) == 0:
+        return empty
+    order = np.lexsort((h, doc))
+    h, doc = h[order], doc[order]
+    seg = np.ones(len(h), dtype=bool)
+    seg[1:] = (h[1:] != h[:-1]) | (doc[1:] != doc[:-1])
+    starts = np.nonzero(seg)[0]
+    cnt = np.diff(np.concatenate([starts, [len(h)]]))
+    return pa.table({
+        "h": pa.array(h[starts].astype(np.int64), pa.int64()),
+        "doc": pa.array(doc[starts], pa.int64()),
+        "cnt": pa.array(cnt, pa.int64()),
+    })
+
+
+def _stream(ds: Dataset, text_col: str, id_col: str, L: int) -> Dataset:
+    return ds.map_batches(
+        lambda b: _lgram_table(b, text_col, id_col, L),
+        batch_format="pyarrow")
+
+
+def _bucket_by_h(b: pa.Table, nb: int) -> pa.Table:
+    h = np.asarray(b["h"].to_numpy(zero_copy_only=False)) \
+        .astype(np.uint64)
+    return b.append_column(
+        "_bucket",
+        pa.array((splitmix64(h) % np.uint64(nb)).astype(np.int64)))
+
+
+def duplicate_position_counts(ds: Dataset, text_col: str, id_col: str,
+                              L: int = 40) -> Dataset:
+    """Per-document duplicated-position counts: for each document with
+    at least one, the number of byte positions whose length-``L`` gram
+    occurs in ≥ 2 distinct documents. Output: (``id_col``,
+    n_dup_positions), only documents with a positive count."""
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    def emit_counts(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cnt = np.asarray(g["cnt"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((doc, h))
+        h, doc, cnt = h[order], doc[order], cnt[order]
+        seg = np.ones(len(h), dtype=bool)
+        seg[1:] = h[1:] != h[:-1]
+        seg_id = np.cumsum(seg) - 1
+        # rows per segment == distinct docs per gram (rows are distinct
+        # (h, doc) by construction upstream)
+        n_docs = np.bincount(seg_id)
+        keep = n_docs[seg_id] >= 2
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array(doc[keep], pa.int64()),
+                         "cnt": pa.array(cnt[keep], pa.int64())})
+
+    partials = _bucketed_groups(_stream(ds, text_col, id_col, L),
+                                _bucket_by_h, emit_counts)
+    return grouped_aggregate(partials, [id_col],
+                             [("cnt", "sum", "n_dup_positions")])
+
+
+def duplicate_substring_pairs(ds: Dataset, text_col: str, id_col: str,
+                              L: int = 40) -> Dataset:
+    """Distinct (d1, d2) document pairs (d1 < d2) sharing at least one
+    exact length-``L`` character substring, re-verified against the
+    texts (hash candidates never reach the output unchecked).
+
+    Output size is the semantic's own: a P-document boilerplate clique
+    legitimately contains P(P-1)/2 pairs — see the module docstring for
+    why corpus-scale callers want :func:`duplicate_position_counts`."""
+    from batch_geocode_ray.stages.dedup import _bucket_lookup_join
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((doc, h))
+        h, doc = h[order], doc[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(h[1:] != h[:-1])[0] + 1, [len(h)]])
+        lens = np.diff(bounds)
+        d1s, d2s = [], []
+        for si in np.nonzero(lens > 1)[0]:
+            seg = doc[bounds[si]:bounds[si + 1]]
+            a, b_ = np.triu_indices(len(seg), k=1)
+            d1s.append(seg[a])
+            d2s.append(seg[b_])
+        if not d1s:
+            return pa.table({"d1": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        return pa.table({"d1": pa.array(np.concatenate(d1s), pa.int64()),
+                         "d2": pa.array(np.concatenate(d2s), pa.int64())})
+
+    cand = (_bucketed_groups(_stream(ds, text_col, id_col, L),
+                             _bucket_by_h, emit_pairs)
+            .groupby(["d1", "d2"]).aggregate(Count(alias_name="_c")))
+
+    # exact verify: attach both texts, confirm a shared L-gram by
+    # direct byte comparison (hash-set intersection per pair)
+    texts = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "_t": b[text_col]}),
+        batch_format="pyarrow")
+    joined = _bucket_lookup_join(cand, "d1", texts, id_col, {"_t": "_t1"})
+    joined = _bucket_lookup_join(joined, "d2", texts, id_col,
+                                 {"_t": "_t2"})
+
+    def verify(b: pa.Table) -> pa.Table:
+        out = pa.table({"d1": pa.array([], pa.int64()),
+                        "d2": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return out
+        t1 = b["_t1"].to_pylist()
+        t2 = b["_t2"].to_pylist()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i, (x, y) in enumerate(zip(t1, t2)):
+            xb, yb = x.encode(), y.encode()
+            if len(xb) < L or len(yb) < L:
+                continue
+            grams = {xb[j:j + L] for j in range(len(xb) - L + 1)}
+            keep[i] = any(yb[j:j + L] in grams
+                          for j in range(len(yb) - L + 1))
+        kept = b.filter(pa.array(keep))
+        return pa.table({"d1": kept["d1"], "d2": kept["d2"]})
+
+    return joined.map_batches(verify, batch_format="pyarrow")

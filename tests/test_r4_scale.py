@@ -4,6 +4,7 @@ and size-probed coarse-bucket counts (VERDICT r3 "What's wrong" #1/#2).
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 import batch_geocode_ray.stages.dedup as dd
@@ -178,3 +179,79 @@ def test_cc_giant_component_bounded_bucket_segments(monkeypatch):
     assert len(labels) == n + 3
     assert all(labels[i] == 0 for i in range(n + 1))
     assert labels[7000] == 7000 and labels[7001] == 7000
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (stages/substring.py)
+# ---------------------------------------------------------------------------
+
+def _span_docs():
+    """Planted shared spans: docs 0/1 share a 60-char span, docs
+    2/3/4 share a 45-char boilerplate sentence (a 3-clique), doc 5 is
+    unique, doc 6 is shorter than L, doc 7 is empty."""
+    span = "the quick brown fox jumps over the lazy dog again and againX"
+    boiler = "all rights reserved worldwide by the owner013"
+    assert len(span) == 60 and len(boiler) == 45
+    texts = [
+        "prefix one " + span + " suffix alpha",
+        "other lead-in " + span + " trailing text",
+        boiler + " doc two unique tail section here",
+        "doc three intro " + boiler + " and more",
+        "doc four begins " + boiler,
+        "totally unique content with no repeated spans at all in here ok",
+        "short doc",
+        "",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+
+
+def test_duplicate_substring_pairs_planted(monkeypatch):
+    from batch_geocode_ray.stages.substring import duplicate_substring_pairs
+
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)  # distributed plan
+    got = {(r["d1"], r["d2"]) for r in duplicate_substring_pairs(
+        _span_docs(), "text", "doc_id", L=40).take_all()}
+    assert got == {(0, 1), (2, 3), (2, 4), (3, 4)}
+
+
+def test_duplicate_position_counts_planted(monkeypatch):
+    from batch_geocode_ray.stages.substring import duplicate_position_counts
+
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    got = {r["doc_id"]: r["n_dup_positions"]
+           for r in duplicate_position_counts(
+               _span_docs(), "text", "doc_id", L=40).take_all()}
+    # span of length S contributes S - L + 1 = 21 in-span positions
+    # (60-char span, L=40) PLUS the boundary grams: both docs have a
+    # space before AND after the span, so " "+span[:39] and
+    # span[21:]+" " are shared too -> 23 each. Boilerplate (45 chars):
+    # 6 in-span; doc2 and doc3 share the trailing-space gram, doc3 and
+    # doc4 share the leading-space gram.
+    assert got == {0: 23, 1: 23, 2: 7, 3: 8, 4: 7}
+
+
+def test_lgram_hashes_match_python_slices():
+    """Rolling-hash stream agrees with literal string slicing: same
+    distinct-gram count per doc and identical hash for identical grams
+    across docs (the 2/3 shared span) on a multi-chunk column."""
+    from batch_geocode_ray.stages.substring import _lgram_table
+
+    t = pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["xy" * 30 + "SHARED-SPAN-" * 5,
+                          "ab" * 17 + "SHARED-SPAN-" * 5], pa.string()),
+    })
+    out = _lgram_table(t, "text", "doc_id", 24)
+    h2 = {r["h"] for r in out.filter(
+        pc.equal(out["doc"], 2)).to_pylist()}
+    h3 = {r["h"] for r in out.filter(
+        pc.equal(out["doc"], 3)).to_pylist()}
+    def grams(s, L=24):
+        return {s[i:i + L] for i in range(len(s) - L + 1)}
+    s2 = "xy" * 30 + "SHARED-SPAN-" * 5
+    s3 = "ab" * 17 + "SHARED-SPAN-" * 5
+    assert len(h2) == len(grams(s2)) and len(h3) == len(grams(s3))
+    assert len(h2 & h3) == len(grams(s2) & grams(s3))
