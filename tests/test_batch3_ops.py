@@ -136,3 +136,23 @@ def test_transition_counts_both_plans(monkeypatch):
     assert run() == want
     monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
     assert run() == want
+
+
+def test_grouped_collect_distinct_sorted_string_key(monkeypatch):
+    """String group keys survive the bucket exchange (the key used to
+    be cast through uint64 and came back as int64)."""
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "de", "en", "fr", "de", "en"],
+                         pa.string()),
+        "src": pa.array(["a", "b", "a", "c", "b", "c"], pa.string()),
+    })).repartition(3)
+    want = {"en": "a,c", "de": "b", "fr": "c"}
+
+    def run():
+        return {r["lang"]: r["srcs"] for r in
+                grouped_collect_distinct_sorted(
+                    ds, "lang", "src", "srcs").take_all()}
+
+    assert run() == want
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == want
