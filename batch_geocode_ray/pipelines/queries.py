@@ -2914,6 +2914,34 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q74_dup_span_coverage(sf_dir: str) -> Dataset:
+    """Substring-level dedup, cut form: per document, how many
+    CHARACTERS are covered by at least one duplicated 40-gram window —
+    exactly what a Lee-et-al span-cut pass deletes (q73 counts window
+    STARTS; this unions the [pos, pos+40) intervals)."""
+    from batch_geocode_ray.stages.substring import duplicate_span_coverage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_span_coverage(docs, "text", "doc_id", L=40)
+
+
+SQL_Q74 = """
+WITH subs AS (
+  SELECT doc_id, u.i AS i, substr(text, u.i, 40) AS s
+  FROM documents CROSS JOIN LATERAL
+       unnest(range(1, length(text) - 38)) AS u(i)
+  WHERE length(text) >= 40
+), dup AS (
+  SELECT s FROM subs GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), pos AS (
+  SELECT doc_id, i FROM subs WHERE s IN (SELECT s FROM dup)
+)
+SELECT doc_id, count(DISTINCT i + d.d) AS n_dup_chars
+FROM pos CROSS JOIN LATERAL unnest(range(0, 40)) AS d(d)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2930,6 +2958,7 @@ QUERIES = {
     # --- tier 1: not yet driver-gated ---
     "q72_dup_substring_pairs": q72_dup_substring_pairs,
     "q73_dup_substring_positions": q73_dup_substring_positions,
+    "q74_dup_span_coverage": q74_dup_span_coverage,
     "q51_user_interarrival": q51_user_interarrival,
     "q52_order_sample_stats": q52_order_sample_stats,
     "q53_event_type_pivot": q53_event_type_pivot,
@@ -3072,6 +3101,7 @@ ORACLE_SQL = {
     "q71_doc_repetition": SQL_Q71,
     "q72_dup_substring_pairs": SQL_Q72,
     "q73_dup_substring_positions": SQL_Q73,
+    "q74_dup_span_coverage": SQL_Q74,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

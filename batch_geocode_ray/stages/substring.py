@@ -73,19 +73,23 @@ _B_INV = _inv_u64(_B)
 
 
 def _lgram_table(b: pa.Table, text_col: str, id_col: str,
-                 L: int) -> pa.Table:
+                 L: int, with_positions: bool = False) -> pa.Table:
     """Distinct (h, doc, cnt) rows for every length-``L`` byte gram of
     every document in the batch: ``h`` the gram's rolling hash, ``cnt``
-    how many positions of ``doc`` carry it. Fully vectorized over the
+    how many positions of ``doc`` carry it. With ``with_positions``,
+    one (h, doc, pos) row per POSITION instead (pos is the 0-based byte
+    offset inside the doc) — same exchange order for typical text,
+    where repeated within-doc grams are rare. Fully vectorized over the
     column's concatenated UTF-8 data buffer — no per-row Python."""
     col = b[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
+    third = "pos" if with_positions else "cnt"
     empty = pa.table({"h": pa.array([], pa.int64()),
                       "doc": pa.array([], pa.int64()),
-                      "cnt": pa.array([], pa.int64())})
+                      third: pa.array([], pa.int64())})
     n_rows = len(col)
     if n_rows == 0:
         return empty
@@ -120,6 +124,13 @@ def _lgram_table(b: pa.Table, text_col: str, id_col: str,
     doc = ids[doc_ix[valid]]
     if len(h) == 0:
         return empty
+    if with_positions:
+        rel = (pos[valid] - offs[doc_ix[valid]]).astype(np.int64)
+        return pa.table({
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "doc": pa.array(doc, pa.int64()),
+            "pos": pa.array(rel, pa.int64()),
+        })
     order = np.lexsort((h, doc))
     h, doc = h[order], doc[order]
     seg = np.ones(len(h), dtype=bool)
@@ -133,9 +144,10 @@ def _lgram_table(b: pa.Table, text_col: str, id_col: str,
     })
 
 
-def _stream(ds: Dataset, text_col: str, id_col: str, L: int) -> Dataset:
+def _stream(ds: Dataset, text_col: str, id_col: str, L: int,
+            with_positions: bool = False) -> Dataset:
     return ds.map_batches(
-        lambda b: _lgram_table(b, text_col, id_col, L),
+        lambda b: _lgram_table(b, text_col, id_col, L, with_positions),
         batch_format="pyarrow")
 
 
@@ -250,3 +262,83 @@ def duplicate_substring_pairs(ds: Dataset, text_col: str, id_col: str,
         return pa.table({"d1": kept["d1"], "d2": kept["d2"]})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
+                            L: int = 40) -> Dataset:
+    """Per-document count of characters covered by at least one
+    duplicated L-gram window — the quantity a span-CUT pass removes
+    (Lee et al. cut the duplicated substrings, not whole documents).
+    Output: (``id_col``, n_dup_chars), documents with a positive count.
+
+    Plan: per-position (h, doc, pos) stream -> bucket exchange by h
+    marks positions whose gram occurs in >= 2 docs -> second exchange
+    by doc unions each doc's [pos, pos+L) intervals with a vectorized
+    sweep (coverage = L + sum(min(gap, L)) over consecutive sorted
+    starts). Two all-to-alls over O(duplicated positions) rows."""
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    def emit_dup_positions(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((doc, h))
+        h, doc, pos = h[order], doc[order], pos[order]
+        seg = np.ones(len(h), dtype=bool)
+        seg[1:] = h[1:] != h[:-1]
+        seg_id = np.cumsum(seg) - 1
+        # distinct docs per gram: count doc-changes inside each segment
+        doc_start = seg.copy()
+        doc_start[1:] |= doc[1:] != doc[:-1]
+        n_docs = np.bincount(seg_id, weights=doc_start).astype(np.int64)
+        keep = n_docs[seg_id] >= 2
+        return pa.table({"doc": pa.array(doc[keep], pa.int64()),
+                         "pos": pa.array(pos[keep], pa.int64())})
+
+    dup_pos = _bucketed_groups(
+        _stream(ds, text_col, id_col, L, with_positions=True),
+        _bucket_by_h, emit_dup_positions)
+
+    def bucket_by_doc(b: pa.Table, nb: int) -> pa.Table:
+        d = np.asarray(b["doc"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(d) % np.uint64(nb)).astype(np.int64)))
+
+    def coverage(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        if len(doc) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_dup_chars": pa.array([], pa.int64())})
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        starts = np.ones(len(doc), dtype=bool)
+        starts[1:] = doc[1:] != doc[:-1]
+        seg_id = np.cumsum(starts) - 1
+        # the same position can arrive twice (same gram emitted from
+        # two hash buckets can't happen, but a position whose gram is
+        # duplicated is emitted once per (h, pos) — drop exact repeats
+        rep = np.zeros(len(doc), dtype=bool)
+        rep[1:] = (~starts[1:]) & (pos[1:] == pos[:-1])
+        doc, pos, seg_id = doc[~rep], pos[~rep], seg_id[~rep]
+        starts = starts[~rep]
+        gap = np.empty(len(pos), dtype=np.int64)
+        gap[0] = L
+        gap[1:] = np.minimum(pos[1:] - pos[:-1], L)
+        gap[starts] = L  # each doc's first interval contributes L
+        n_docs = seg_id[-1] + 1
+        cov = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(cov, seg_id, gap)
+        return pa.table({
+            id_col: pa.array(doc[starts.nonzero()[0]], pa.int64()),
+            "n_dup_chars": pa.array(cov, pa.int64()),
+        })
+
+    return _bucketed_groups(dup_pos, bucket_by_doc, coverage)

@@ -255,3 +255,17 @@ def test_lgram_hashes_match_python_slices():
     s3 = "ab" * 17 + "SHARED-SPAN-" * 5
     assert len(h2) == len(grams(s2)) and len(h3) == len(grams(s3))
     assert len(h2 & h3) == len(grams(s2) & grams(s3))
+
+
+def test_duplicate_span_coverage_planted(monkeypatch):
+    """Interval union: the 60-char span sits between spaces in both
+    docs, so dup windows start at span_start-1 .. span_start+20 (23
+    starts) and cover 23 - 1 + 40 = 62 chars; the boilerplate docs
+    cover (starts + 39) chars of their 45..47-char dup regions."""
+    from batch_geocode_ray.stages.substring import duplicate_span_coverage
+
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    got = {r["doc_id"]: r["n_dup_chars"]
+           for r in duplicate_span_coverage(
+               _span_docs(), "text", "doc_id", L=40).take_all()}
+    assert got == {0: 62, 1: 62, 2: 46, 3: 47, 4: 46}
