@@ -2942,6 +2942,21 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q75_embedding_pca(sf_dir: str) -> Dataset:
+    """Distributed PCA projection of the embedding corpus onto its top-2
+    principal components (mergeable per-block (n, sum, X^T X) partials
+    -> driver eigh of the d x d covariance -> broadcast components ->
+    per-batch projection). Deterministic (sorted partial merge, sign
+    convention); eigendecomposition is not SQL-expressible -> rows-only,
+    numpy-oracle pinned in tests/test_r4_scale.py."""
+    from batch_geocode_ray.stages.similarity import pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pca_project(emb, "embedding", "vec_id", k=2)
+    return _round_cols(_sort_adaptive(out, "vec_id"),
+                       {"pc1": 4, "pc2": 4})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2959,6 +2974,7 @@ QUERIES = {
     "q72_dup_substring_pairs": q72_dup_substring_pairs,
     "q73_dup_substring_positions": q73_dup_substring_positions,
     "q74_dup_span_coverage": q74_dup_span_coverage,
+    "q75_embedding_pca": q75_embedding_pca,
     "q51_user_interarrival": q51_user_interarrival,
     "q52_order_sample_stats": q52_order_sample_stats,
     "q53_event_type_pivot": q53_event_type_pivot,
@@ -3118,4 +3134,7 @@ ORACLE_SQL = {
     #       the sandbox); plumbing is deterministic and pytest-pinned.
     #   q35 k-means — iterative/fixpoint, not SQL-expressible;
     #       determinism + quality pinned in tests/test_kmeans.py.
+    #   q75 PCA — eigendecomposition is not SQL-expressible; the
+    #       projection is pinned against a single-process numpy PCA in
+    #       tests/test_r4_scale.py (test_pca_project_matches_numpy).
 }

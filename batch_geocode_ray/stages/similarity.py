@@ -477,3 +477,68 @@ def ivf_knn(ds: Dataset, vec_col: str, id_col: str,
     return _merge_partial_topk(
         ds.map_batches(partial, batch_format="pyarrow"), k,
         n_queries=qm.shape[0])
+
+
+def pca_project(ds: Dataset, vec_col: str, id_col: str,
+                k: int = 2) -> Dataset:
+    """Distributed PCA projection — the train-tiny-globally /
+    apply-everywhere pattern: every block contributes one mergeable
+    (n, sum_vec, X^T X) partial (d + d^2 floats, BLAS), the driver
+    eigendecomposes the resulting d x d covariance (trivially small at
+    any corpus size), and the top-``k`` components broadcast back for a
+    per-batch projection matmul. Nothing corpus-sized ever leaves the
+    blocks; the all-reduce payload is blocks x d^2 floats.
+
+    Deterministic: partials are merged in sorted-bytes order (float
+    summation order fixed across runs/schedulers) and each component's
+    sign is fixed by making its largest-|coordinate| positive.
+
+    Output: (``id_col``, pc1..pck) float64, one row per vector.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _matrix_of(b, vec_col)
+        if x.shape[0] == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "g": pa.array([], pa.binary())})
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+            "g": pa.array([(x.T @ x).tobytes()], pa.binary()),
+        })
+
+    parts = []
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(t.num_rows):
+            parts.append((t["n"][i].as_py(), t["s"][i].as_py(),
+                          t["g"][i].as_py()))
+    if not parts:
+        raise ValueError("pca_project: empty input")
+    parts.sort(key=lambda p: (p[1], p[2]))  # deterministic merge order
+    n_total = sum(p[0] for p in parts)
+    s = np.sum([np.frombuffer(p[1], np.float64) for p in parts], axis=0)
+    d = len(s)
+    g = np.sum([np.frombuffer(p[2], np.float64).reshape(d, d)
+                for p in parts], axis=0)
+    mean = s / n_total
+    cov = g / n_total - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    comps = v[:, ::-1][:, :k]           # top-k columns
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(k)] < 0
+    comps = comps * np.where(flip, -1.0, 1.0)
+    mean_ref = ray.put(mean)
+    comps_ref = ray.put(comps)
+
+    def project(b: pa.Table) -> pa.Table:
+        m = ray.get(mean_ref)
+        c = ray.get(comps_ref)
+        x = _matrix_of(b, vec_col)
+        p = (x - m) @ c if x.shape[0] else np.zeros((0, k))
+        out = {id_col: b[id_col]}
+        for j in range(k):
+            out[f"pc{j + 1}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -269,3 +269,32 @@ def test_duplicate_span_coverage_planted(monkeypatch):
            for r in duplicate_span_coverage(
                _span_docs(), "text", "doc_id", L=40).take_all()}
     assert got == {0: 62, 1: 62, 2: 46, 3: 47, 4: 46}
+
+
+def test_pca_project_matches_numpy():
+    """Distributed partial-merge PCA equals single-process numpy PCA
+    (covariance eigh) up to 1e-9, including the sign convention, over
+    adversarial block boundaries."""
+    from batch_geocode_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(300, 6))
+    base[:, 0] = base[:, 1] * 3 + rng.normal(size=300) * 0.1  # structure
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in base],
+                              pa.list_(pa.float32())),
+    })).repartition(7)
+    got = {r["vec_id"]: (r["pc1"], r["pc2"])
+           for r in pca_project(ds, "embedding", "vec_id", k=2).take_all()}
+    x = base.astype(np.float32).astype(np.float64)  # storage precision
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / len(x)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :2]
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(2)] < 0
+    comps = comps * np.where(flip, -1.0, 1.0)
+    want = (x - mean) @ comps
+    for i in range(300):
+        assert abs(got[i][0] - want[i, 0]) < 1e-6
+        assert abs(got[i][1] - want[i, 1]) < 1e-6
