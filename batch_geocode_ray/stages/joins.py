@@ -197,14 +197,15 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
         tbl = pa.concat_tables(ray.get(r) for r in keys_m.to_arrow_refs())
         return broadcast_semi_anti(ds, tbl[right_key].combine_chunks(),
                                    key, anti=anti)
-    if not pa.types.is_integer(keys_m.schema().field(right_key).type):
+    sch = keys_m.schema()  # ray Schema: parallel .names/.types lists
+    key_type = dict(zip(sch.names, sch.types))[right_key]
+    if not pa.types.is_integer(key_type):
         # the lookup exchange keys on int64; hashing strings here would
         # make membership probabilistic — refuse loudly instead
         raise TypeError(
-            "semi_anti_join large path requires integer keys "
-            f"(got {keys_m.schema().field(right_key).type} for "
-            f"{right_key!r}); reduce string keys to stable_hash64 ids "
-            "upstream")
+            "semi_anti_join large path requires integer keys (got "
+            f"{key_type} for {right_key!r}); reduce string keys to "
+            "stable_hash64 ids upstream")
     flagged = keys_m.map_batches(
         lambda b: pa.table({
             right_key: b[right_key],

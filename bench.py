@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q43_user_moving_avg",      # per-key ROWS-window aggregate
     "q56_dedup_clusters",       # connected-components dedup clustering
     "q57_corpus_vocab",         # combiner pre-agg + bounded global top-k
+    # round 4 (suite-composition note in BASELINE.md: r4 adds one entry)
+    "q73_dup_substring_positions",  # substring-level dedup position stream
 ]
 
 
