@@ -160,11 +160,16 @@ def _bucket_by_h(b: pa.Table, nb: int) -> pa.Table:
 
 
 def duplicate_position_counts(ds: Dataset, text_col: str, id_col: str,
-                              L: int = 40) -> Dataset:
+                              L: int = 40,
+                              size_hint_bytes: int | None = None) -> Dataset:
     """Per-document duplicated-position counts: for each document with
     at least one, the number of byte positions whose length-``L`` gram
     occurs in ≥ 2 distinct documents. Output: (``id_col``,
-    n_dup_positions), only documents with a positive count."""
+    n_dup_positions), only documents with a positive count.
+
+    ``size_hint_bytes``: pass ~24 x corpus_chars (the gram-stream
+    width) at real scale so the exchange streams instead of
+    materializing the corpus-sized stream for the plan probe."""
     from batch_geocode_ray.stages.aggregates import grouped_aggregate
     from batch_geocode_ray.stages.windows import _bucketed_groups
 
@@ -191,7 +196,8 @@ def duplicate_position_counts(ds: Dataset, text_col: str, id_col: str,
                          "cnt": pa.array(cnt[keep], pa.int64())})
 
     partials = _bucketed_groups(_stream(ds, text_col, id_col, L),
-                                _bucket_by_h, emit_counts)
+                                _bucket_by_h, emit_counts,
+                                size_hint_bytes=size_hint_bytes)
     return grouped_aggregate(partials, [id_col],
                              [("cnt", "sum", "n_dup_positions")])
 
@@ -265,7 +271,8 @@ def duplicate_substring_pairs(ds: Dataset, text_col: str, id_col: str,
 
 
 def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
-                            L: int = 40) -> Dataset:
+                            L: int = 40,
+                            size_hint_bytes: int | None = None) -> Dataset:
     """Per-document count of characters covered by at least one
     duplicated L-gram window — the quantity a span-CUT pass removes
     (Lee et al. cut the duplicated substrings, not whole documents).
@@ -300,7 +307,8 @@ def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
 
     dup_pos = _bucketed_groups(
         _stream(ds, text_col, id_col, L, with_positions=True),
-        _bucket_by_h, emit_dup_positions)
+        _bucket_by_h, emit_dup_positions,
+        size_hint_bytes=size_hint_bytes)
 
     def bucket_by_doc(b: pa.Table, nb: int) -> pa.Table:
         d = np.asarray(b["doc"].to_numpy(zero_copy_only=False)) \

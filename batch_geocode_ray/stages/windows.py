@@ -25,7 +25,8 @@ from batch_geocode_ray.functions.hashing import splitmix64
 
 
 def _bucketed_groups(ds: Dataset, bucket_fn, group_fn,
-                     n_buckets: int | None = None) -> Dataset:
+                     n_buckets: int | None = None,
+                     size_hint_bytes: int | None = None) -> Dataset:
     """bucket-map -> groupby(_bucket) -> per-bucket vectorized group fn,
     with the same adaptive small-side collapse as the dedup ops: the
     group fns here lexsort and segment internally, so they are
@@ -37,13 +38,27 @@ def _bucketed_groups(ds: Dataset, bucket_fn, group_fn,
     ``bucket_fn(batch, n_buckets)`` receives the bucket count, which is
     SIZE-PROBED by default (dedup.adaptive_bucket_count) so one bucket
     never outgrows a task's memory at any input scale; pass
-    ``n_buckets`` to pin it."""
+    ``n_buckets`` to pin it.
+
+    The probe MATERIALIZES the input to measure it — fine up to
+    object-store scale, but a 100 TB caller should not pin a
+    corpus-sized stream just to learn it isn't small. Pass
+    ``size_hint_bytes`` (e.g. the source files' byte size) and, when it
+    clears the small threshold, the exchange runs FULLY STREAMING: no
+    probe, no materialization, bucket count derived from the hint."""
     from batch_geocode_ray.stages.dedup import (
+        SMALL_COLLAPSE_BYTES,
         _one_task,
         _probe_small,
         adaptive_bucket_count,
     )
 
+    if size_hint_bytes is not None and size_hint_bytes >= SMALL_COLLAPSE_BYTES:
+        nb = n_buckets or adaptive_bucket_count(size_hint_bytes)
+        return (ds.map_batches(lambda b: bucket_fn(b, nb),
+                               batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(group_fn, batch_format="pyarrow"))
     m, small = _probe_small(ds)
     if small:
         return _one_task(m, group_fn)

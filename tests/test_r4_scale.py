@@ -298,3 +298,19 @@ def test_pca_project_matches_numpy():
     for i in range(300):
         assert abs(got[i][0] - want[i, 0]) < 1e-6
         assert abs(got[i][1] - want[i, 1]) < 1e-6
+
+
+def test_size_hint_streaming_plan_same_result():
+    """With a big size hint the exchange skips the probe/materialize
+    entirely (fully streaming) and produces identical results."""
+    from batch_geocode_ray.stages.substring import duplicate_position_counts
+
+    docs = _span_docs()
+    probed = {r["doc_id"]: r["n_dup_positions"]
+              for r in duplicate_position_counts(
+                  docs, "text", "doc_id", L=40).take_all()}
+    streamed = {r["doc_id"]: r["n_dup_positions"]
+                for r in duplicate_position_counts(
+                    docs, "text", "doc_id", L=40,
+                    size_hint_bytes=1 << 40).take_all()}
+    assert streamed == probed
