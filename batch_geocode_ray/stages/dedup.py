@@ -388,7 +388,8 @@ def _doc_grams(b: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
 
 def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.8,
-                        max_posting: int | None = 4096) -> Dataset:
+                        max_posting: int | None = 4096,
+                        size_hint_bytes: int | None = None) -> Dataset:
     """EXACT k-token-gram Jaccard similarity join: all (d1 < d2) pairs
     with ``J = |∩| / |∪| >= threshold``.
 
@@ -416,10 +417,21 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     The governor binds in the DISTRIBUTED plan; the small-collapse
     one-task plan is exact by brute force (bounded by the probe).
     ``max_posting=None`` disables it (the pre-round-4 behavior).
+
+    ``size_hint_bytes`` (~24 B x corpus tokens, the gram-stream width):
+    when it clears the small threshold the gram stream is never
+    materialized — the plan probe is skipped and the bucket count comes
+    from the hint, so a 100 TB corpus doesn't pin a corpus-sized stream
+    in the object store just to choose a plan.
     """
-    grams, small = _probe_small(ds.map_batches(
+    gram_stream = ds.map_batches(
         lambda b: _doc_grams(b, text_col, id_col, k),
-        batch_format="pyarrow"))  # materialized: reused twice (sizes + pairs)
+        batch_format="pyarrow")
+    if size_hint_bytes is not None and size_hint_bytes >= SMALL_COLLAPSE_BYTES:
+        grams, small, probed_bytes = gram_stream, False, size_hint_bytes
+    else:
+        grams, small = _probe_small(gram_stream)
+        probed_bytes = grams.size_bytes() or 0
 
     if small:
         # whole similarity join in one task over the (id, gram) table;
@@ -472,7 +484,7 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     # (millions). Inside a bucket, segment boundaries over the sorted
     # (gram, id) arrays find each gram's posting list vectorized; only
     # multi-doc segments (the rare shared grams) loop.
-    n_buckets = adaptive_bucket_count(grams.size_bytes() or 0)
+    n_buckets = adaptive_bucket_count(probed_bytes)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         g = np.asarray(b["gram"].to_numpy(zero_copy_only=False)).astype(np.uint64)

@@ -314,3 +314,15 @@ def test_size_hint_streaming_plan_same_result():
                     docs, "text", "doc_id", L=40,
                     size_hint_bytes=1 << 40).take_all()}
     assert streamed == probed
+
+
+def test_ngram_hint_streaming_same_result():
+    from batch_geocode_ray.stages.dedup import ngram_jaccard_pairs as njp
+
+    docs = _hot_gram_docs()
+    probed = _pairs_of(njp(docs, "text", "doc_id", k=3, threshold=0.8,
+                           max_posting=32))
+    streamed = _pairs_of(njp(docs, "text", "doc_id", k=3, threshold=0.8,
+                             max_posting=32, size_hint_bytes=1 << 40))
+    assert streamed == probed == {(200, 201): 1.0, (202, 203): 1.0,
+                                  (300, 301): 1.0}
