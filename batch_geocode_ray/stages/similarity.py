@@ -508,20 +508,34 @@ def pca_project(ds: Dataset, vec_col: str, id_col: str,
             "g": pa.array([(x.T @ x).tobytes()], pa.binary()),
         })
 
-    parts = []
-    for t in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i in range(t.num_rows):
-            parts.append((t["n"][i].as_py(), t["s"][i].as_py(),
-                          t["g"][i].as_py()))
-    if not parts:
+    def merge_one(t: pa.Table) -> pa.Table:
+        # ONE task sums all block partials (deterministic: sorted-bytes
+        # order fixes float association across runs/schedulers); the
+        # driver then fetches a single (d + d^2)-float blob instead of
+        # blocks x d^2 — the assumption is d^2 x 8 B fits a task
+        # (d <= ~2000), the same bound q65's Gram merge documents
+        rows = sorted((t["n"][i].as_py(), t["s"][i].as_py(),
+                       t["g"][i].as_py()) for i in range(t.num_rows))
+        n_tot = sum(r[0] for r in rows)
+        s = np.sum([np.frombuffer(r[1], np.float64) for r in rows],
+                   axis=0)
+        dd = len(s)
+        g = np.sum([np.frombuffer(r[2], np.float64).reshape(dd, dd)
+                    for r in rows], axis=0)
+        return pa.table({"n": pa.array([n_tot], pa.int64()),
+                         "s": pa.array([s.tobytes()], pa.binary()),
+                         "g": pa.array([g.tobytes()], pa.binary())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(merge_one, batch_format="pyarrow",
+                           batch_size=None).take_all())
+    if not merged or merged[0]["n"] == 0:
         raise ValueError("pca_project: empty input")
-    parts.sort(key=lambda p: (p[1], p[2]))  # deterministic merge order
-    n_total = sum(p[0] for p in parts)
-    s = np.sum([np.frombuffer(p[1], np.float64) for p in parts], axis=0)
+    n_total = merged[0]["n"]
+    s = np.frombuffer(merged[0]["s"], np.float64)
     d = len(s)
-    g = np.sum([np.frombuffer(p[2], np.float64).reshape(d, d)
-                for p in parts], axis=0)
+    g = np.frombuffer(merged[0]["g"], np.float64).reshape(d, d)
     mean = s / n_total
     cov = g / n_total - np.outer(mean, mean)
     w, v = np.linalg.eigh(cov)          # ascending eigenvalues
