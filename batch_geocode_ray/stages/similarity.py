@@ -119,10 +119,11 @@ def _merge_partial_topk(partials: Dataset, k: int,
     the oracle order.
 
     Large query sets (Q > SHUFFLE_MERGE_QUERIES, e.g. per-doc queries):
-    coarse-bucket by ``query_id % 1024`` and merge per bucket in
-    parallel (never one task per query — see grouped-aggregate notes),
-    then a distributed sort restores the (query_id, rank) order. No
-    single worker ever holds more than ~1/1024 of the partials."""
+    coarse-bucket by query_id hash (size-probed bucket count,
+    ~32 MB/bucket) and merge per bucket in parallel (never one task per
+    query — see grouped-aggregate notes), then a distributed sort
+    restores the (query_id, rank) order. No single worker ever holds
+    more than one bucket of the partials."""
 
     def merge_one(b: pa.Table) -> pa.Table:
         q = np.asarray(b["query_id"].to_numpy(zero_copy_only=False),
