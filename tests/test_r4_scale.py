@@ -326,3 +326,41 @@ def test_ngram_hint_streaming_same_result():
                              max_posting=32, size_hint_bytes=1 << 40))
     assert streamed == probed == {(200, 201): 1.0, (202, 203): 1.0,
                                   (300, 301): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# bucket-exchange lookup join (the Dataset.join replacement)
+# ---------------------------------------------------------------------------
+
+def test_bucket_lookup_join_semantics(monkeypatch):
+    """missing='null' attaches typed nulls; duplicate requests each get
+    the payload; duplicate carriers are tolerated; missing='error'
+    raises naming the absent key. Both the collapsed and the
+    bucket-shuffle physical plans."""
+    import pytest
+    import ray
+
+    from batch_geocode_ray.stages.dedup import _bucket_lookup_join
+
+    src = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2], pa.int64()),     # duplicate carrier
+        "v": pa.array(["a", "b", "b"], pa.string()),
+    }))
+    req = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, 9], pa.int64()),     # dup requests + miss
+        "x": pa.array([10, 20, 30], pa.int64()),
+    })).repartition(3)
+
+    def run():
+        out = _bucket_lookup_join(req, "k", src, "k", {"v": "v"},
+                                  missing="null").take_all()
+        return sorted((r["k"], r["x"], r["v"]) for r in out)
+
+    want = [(2, 10, "b"), (2, 20, "b"), (9, 30, None)]
+    assert run() == want
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == want
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="no source row"):
+        _bucket_lookup_join(req, "k", src, "k", {"v": "v"},
+                            missing="error").take_all()
