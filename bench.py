@@ -59,11 +59,22 @@ def weather_gauge() -> dict:
     recorded in a bad window are meaningless without this context."""
     import numpy as np
 
+    # chunked with an early exit: a healthy box copies all 128 MB in
+    # ~20 ms; a reclaim-window box would take 10-40 s for the full
+    # buffer (the probe itself became the cost), so bail after ~0.4 s —
+    # the partial rate is just as damning
     buf = np.zeros(128 << 20, np.uint8)
+    chunk = 16 << 20
+    copied = 0
     t0 = time.perf_counter()
-    buf2 = buf.copy()
-    memcpy_gbps = round((128 / 1024) / (time.perf_counter() - t0), 2)
-    del buf, buf2
+    for off in range(0, len(buf), chunk):
+        buf[off:off + chunk].copy()
+        copied += chunk
+        if time.perf_counter() - t0 > 0.4:
+            break
+    memcpy_gbps = round(
+        (copied / (1 << 30)) / (time.perf_counter() - t0), 2)
+    del buf
     t0 = time.perf_counter()
     x = 0
     while time.perf_counter() - t0 < 0.25:
