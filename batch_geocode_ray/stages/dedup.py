@@ -411,8 +411,12 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
       * hot×hot pairs are re-discovered by the MinHash LSH path with
         ``verify="trigram"`` (exact Jaccard recomputed per candidate —
         the q18-vs-q15 equivalence), so values stay exact and recall
-        follows the LSH S-curve (P(miss) < 1e-30 at J >= 0.8 with the
-        default 32x4 banding).
+        follows the LSH S-curve. The banding is chosen FROM the
+        requested threshold (:func:`lsh_banding_for_threshold`), so
+        per-pair miss probability stays ≤ 1e-4 at J = threshold at any
+        threshold — e.g. 32x4 at 0.8 (miss ≈ 5e-8 at J=0.8, ≈ 1.5e-15
+        at J=0.9), 64x2 at 0.5 (miss ≈ 1e-8). A fixed 32x4 would miss
+        ~13% of J=0.5 pairs — hence the threshold-scaled banding.
 
     The governor binds in the DISTRIBUTED plan; the small-collapse
     one-task plan is exact by brute force (bounded by the probe).
@@ -671,16 +675,42 @@ def _pair_jaccard(g1: np.ndarray, g2: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def lsh_banding_for_threshold(threshold: float, num_perm: int = 128,
+                              target_miss: float = 1e-4) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for banded MinHash LSH so a pair at
+    exactly ``threshold`` Jaccard is missed with probability at most
+    ``target_miss``: miss = (1 - J^r)^(num_perm // r). Chooses the
+    LARGEST rows-per-band meeting the target (fewer, more selective
+    bands = fewer false candidates = cheaper verify stage). A fixed
+    32x4 banding only holds above J ≈ 0.75 — at J=0.5 it misses ~13%
+    of pairs and at 0.4 ~44%; this scales r down (0.5 and 0.4 → r=2:
+    miss ~1e-8 and ~1.4e-5) so recall tracks the caller's threshold.
+    The 1e-4 default keeps the classic 32x4 at thresholds ≥ 0.75 and
+    avoids degenerating to single-row bands (huge candidate buckets)
+    at low thresholds."""
+    t = min(max(float(threshold), 0.05), 1.0)
+    for r in (16, 8, 4, 2, 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        if (1.0 - t ** r) ** b <= target_miss:
+            return b, r
+    return num_perm, 1  # r=1: miss = (1-t)^num_perm, the floor
+
+
 def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
-                      num_perm: int = 128, bands: int = 32, k: int = 3,
-                      threshold: float = 0.8,
+                      num_perm: int = 128, bands: int | None = None,
+                      k: int = 3, threshold: float = 0.8,
                       verify: str = "signature") -> Dataset:
     """Near-dup pairs via banded MinHash LSH.
 
     signatures -> per-band bucket keys -> groupby(bucket) -> candidate
-    pairs -> distinct -> verify. Recall follows the LSH S-curve in both
-    modes (at J=0.9 with 32x4 banding, P(miss) < 1e-30 — effectively
-    exact); the verify mode sets precision semantics:
+    pairs -> distinct -> verify. ``bands=None`` (default) picks the
+    banding from ``threshold`` via :func:`lsh_banding_for_threshold`
+    so recall holds at ANY requested threshold (0.8 resolves to the
+    classic 32x4: P(miss) ≈ 5e-8 at J=0.8, ≈ 1.5e-15 at J=0.9; 0.5
+    resolves to 64x2: P(miss) ≈ 1e-8 at J=0.5). Pass ``bands``
+    explicitly to pin it. The verify mode sets precision semantics:
 
       * ``verify="signature"`` — estimated Jaccard as the
         signature-agreement fraction (128 perms ≈ ±0.04); output
@@ -691,6 +721,8 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
         whenever banding recall holds. Output (d1, d2, jaccard) —
         SQL-oracle-comparable against the exact join.
     """
+    if bands is None:
+        bands, _ = lsh_banding_for_threshold(threshold, num_perm)
     rows_per_band = num_perm // bands
     with_text = verify == "trigram"
     from batch_geocode_ray.stages.stateful import stateful_map_batches

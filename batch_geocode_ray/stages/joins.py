@@ -188,24 +188,54 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
     blocks for one side — an outcome any low-cardinality/empty side
     produces) and filters on the mark, so the keep-set never
     concentrates on the driver or any single node.
+
+    Key types are validated BEFORE the plan choice (plan-independent
+    semantics): integer keys match exactly on both plans; string keys
+    are hashed to stable int64 on both sides, so membership is
+    hash-equality (~2^-64 per-pair false match) on EITHER plan; any
+    other type raises TypeError regardless of input size.
     """
     from batch_geocode_ray.stages import dedup as _dd  # single knob
 
     right_key = right_key or key
     keys_m = keys_ds.select_columns([right_key]).materialize()
+    # validate the key type UP FRONT, before any plan choice — otherwise
+    # the same call would pass on a small fixture (broadcast path) and
+    # fail only at scale when the probe picks the exchange plan
+    sch = keys_m.schema()  # ray Schema: parallel .names/.types lists
+    key_type = dict(zip(sch.names, sch.types))[right_key]
+    if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+        # hash string keys to stable int64 on BOTH sides so the
+        # broadcast and exchange plans accept identical inputs with
+        # identical (hash-equality) semantics: ~2^-64 per-pair false
+        # match, plan-independent, instead of a TypeError that only
+        # fires past SMALL_COLLAPSE_BYTES
+        from batch_geocode_ray.functions.hashing import stable_hash64_array
+
+        def _hash_keys(b: pa.Table, col: str) -> pa.Table:
+            h = stable_hash64_array(b[col]).view(np.int64)
+            return pa.table({"__sa_hkey": pa.array(h, pa.int64())})
+
+        hashed_keys = keys_m.map_batches(
+            lambda b: _hash_keys(b, right_key), batch_format="pyarrow")
+        with_h = ds.map_batches(
+            lambda b: b.append_column(
+                "__sa_hkey",
+                pa.array(stable_hash64_array(b[key]).view(np.int64),
+                         pa.int64())),
+            batch_format="pyarrow")
+        out = semi_anti_join(with_h, hashed_keys, "__sa_hkey", anti=anti,
+                             num_partitions=num_partitions)
+        return out.map_batches(lambda b: b.drop_columns(["__sa_hkey"]),
+                               batch_format="pyarrow")
+    if not pa.types.is_integer(key_type):
+        raise TypeError(
+            "semi_anti_join requires integer or string keys (got "
+            f"{key_type} for {right_key!r})")
     if (keys_m.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES:
         tbl = pa.concat_tables(ray.get(r) for r in keys_m.to_arrow_refs())
         return broadcast_semi_anti(ds, tbl[right_key].combine_chunks(),
                                    key, anti=anti)
-    sch = keys_m.schema()  # ray Schema: parallel .names/.types lists
-    key_type = dict(zip(sch.names, sch.types))[right_key]
-    if not pa.types.is_integer(key_type):
-        # the lookup exchange keys on int64; hashing strings here would
-        # make membership probabilistic — refuse loudly instead
-        raise TypeError(
-            "semi_anti_join large path requires integer keys (got "
-            f"{key_type} for {right_key!r}); reduce string keys to "
-            "stable_hash64 ids upstream")
     flagged = keys_m.map_batches(
         lambda b: pa.table({
             right_key: b[right_key],

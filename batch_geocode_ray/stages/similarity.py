@@ -515,6 +515,13 @@ def pca_project(ds: Dataset, vec_col: str, id_col: str,
         # driver then fetches a single (d + d^2)-float blob instead of
         # blocks x d^2 — the assumption is d^2 x 8 B fits a task
         # (d <= ~2000), the same bound q65's Gram merge documents
+        if t.num_rows == 0:
+            # explicit zero partial: np.sum([], axis=0) is a scalar and
+            # would die opaquely here; hand the driver n=0 so its
+            # "pca_project: empty input" ValueError fires as designed
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([b""], pa.binary()),
+                             "g": pa.array([b""], pa.binary())})
         rows = sorted((t["n"][i].as_py(), t["s"][i].as_py(),
                        t["g"][i].as_py()) for i in range(t.num_rows))
         n_tot = sum(r[0] for r in rows)

@@ -33,9 +33,16 @@ Two output semantics:
   counts at corpus scale; the pair form exists for oracle parity and
   small/medium corpora.
 
-Hashes are 64-bit polynomial rolling hashes; the pair path re-verifies
-every candidate against the actual texts (no collision exposure), the
-count path documents the ~2^-64 per-pair collision odds instead of
+Grams are identified by TWO independent 64-bit polynomial rolling
+hashes (different odd bases) — ~128-bit effective width. Per-pair
+collision odds are ~2^-128, and the aggregate (birthday) expectation at
+the module's 100 TB target is what matters: ~10^14 distinct 40-grams
+make ~(10^14)^2 / 2 ≈ 5*10^27 pairs, so a SINGLE 64-bit hash would
+already collide on ~10^8 of them (5*10^27 / 2^64) — silently inflating
+dup-position counts — while the double hash expects ~10^-11 colliding
+pairs (5*10^27 / 2^128): zero in practice. The pair path additionally
+re-verifies every candidate against the actual texts (no collision
+exposure at all); the count paths rely on the 128-bit width instead of
 shipping L-byte grams through the exchange.
 
 Grams are UTF-8 BYTE level — identical to SQL's character semantics on
@@ -53,9 +60,12 @@ from ray.data.aggregate import Count
 
 from batch_geocode_ray.functions.hashing import splitmix64
 
-# odd base => invertible mod 2^64, so rolling hashes come from O(n)
-# prefix sums instead of an O(n*L) sliding window
+# odd bases => invertible mod 2^64, so rolling hashes come from O(n)
+# prefix sums instead of an O(n*L) sliding window. TWO independent
+# bases give each gram a 128-bit identity (see module docstring for
+# the birthday math at 100 TB).
 _B = np.uint64(1099511628211)
+_B2 = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant
 
 
 def _inv_u64(x: np.uint64) -> np.uint64:
@@ -70,17 +80,39 @@ def _inv_u64(x: np.uint64) -> np.uint64:
 
 
 _B_INV = _inv_u64(_B)
+_B2_INV = _inv_u64(_B2)
+
+
+def _roll_hashes(by: np.ndarray, L: int, B: np.uint64,
+                 B_inv: np.uint64) -> np.ndarray:
+    """Length-``L`` polynomial rolling hashes of every window of the
+    byte array ``by`` (values pre-offset by +1), base ``B``, via O(n)
+    prefix sums: h[i] = (q[i+L] - q[i]) * B^(i+L-1) where
+    q[i] = sum_{j<i} by[j] * B^-j (all mod 2^64)."""
+    total = len(by)
+    npos = total - L + 1
+    with np.errstate(over="ignore"):
+        inv_pows = np.cumprod(
+            np.concatenate([[np.uint64(1)],
+                            np.full(total - 1, B_inv, np.uint64)]))
+        q = np.concatenate([[np.uint64(0)],
+                            np.cumsum(by * inv_pows)])
+        pows = np.cumprod(np.concatenate(
+            [[np.uint64(1)], np.full(total - 1, B, np.uint64)]))
+        return (q[L:L + npos] - q[:npos]) * pows[L - 1:L - 1 + npos]
 
 
 def _lgram_table(b: pa.Table, text_col: str, id_col: str,
                  L: int, with_positions: bool = False) -> pa.Table:
-    """Distinct (h, doc, cnt) rows for every length-``L`` byte gram of
-    every document in the batch: ``h`` the gram's rolling hash, ``cnt``
-    how many positions of ``doc`` carry it. With ``with_positions``,
-    one (h, doc, pos) row per POSITION instead (pos is the 0-based byte
-    offset inside the doc) — same exchange order for typical text,
-    where repeated within-doc grams are rare. Fully vectorized over the
-    column's concatenated UTF-8 data buffer — no per-row Python."""
+    """Distinct (h, h2, doc, cnt) rows for every length-``L`` byte gram
+    of every document in the batch: ``h``/``h2`` the gram's two
+    independent rolling hashes (128-bit identity — module docstring),
+    ``cnt`` how many positions of ``doc`` carry it. With
+    ``with_positions``, one (h, h2, doc, pos) row per POSITION instead
+    (pos is the 0-based byte offset inside the doc) — same exchange
+    order for typical text, where repeated within-doc grams are rare.
+    Fully vectorized over the column's concatenated UTF-8 data buffer —
+    no per-row Python."""
     col = b[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -88,6 +120,7 @@ def _lgram_table(b: pa.Table, text_col: str, id_col: str,
                      dtype=np.int64)
     third = "pos" if with_positions else "cnt"
     empty = pa.table({"h": pa.array([], pa.int64()),
+                      "h2": pa.array([], pa.int64()),
                       "doc": pa.array([], pa.int64()),
                       third: pa.array([], pa.int64())})
     n_rows = len(col)
@@ -103,24 +136,14 @@ def _lgram_table(b: pa.Table, text_col: str, id_col: str,
         return empty
     base = offs[0]
     by = data[base:base + total].astype(np.uint64) + np.uint64(1)
-    with np.errstate(over="ignore"):
-        # prefix q[i] = sum_{j<i} by[j] * B^-j   (all mod 2^64)
-        inv_pows = np.cumprod(
-            np.concatenate([[np.uint64(1)],
-                            np.full(total - 1, _B_INV, np.uint64)]))
-        q = np.concatenate([[np.uint64(0)],
-                            np.cumsum(by * inv_pows)])
-        # h[i] = (q[i+L] - q[i]) * B^(i+L-1): the polynomial hash of
-        # bytes [i, i+L)
-        pows = np.cumprod(np.concatenate(
-            [[np.uint64(1)], np.full(total - 1, _B, np.uint64)]))
-        npos = total - L + 1
-        h = (q[L:L + npos] - q[:npos]) * pows[L - 1:L - 1 + npos]
+    h = _roll_hashes(by, L, _B, _B_INV)
+    h2 = _roll_hashes(by, L, _B2, _B2_INV)
+    npos = total - L + 1
     # keep positions whose window stays inside one document
     pos = np.arange(npos, dtype=np.int64) + base
     doc_ix = np.searchsorted(offs, pos, side="right") - 1
     valid = pos + L <= offs[doc_ix + 1]
-    h = h[valid]
+    h, h2 = h[valid], h2[valid]
     doc = ids[doc_ix[valid]]
     if len(h) == 0:
         return empty
@@ -128,17 +151,20 @@ def _lgram_table(b: pa.Table, text_col: str, id_col: str,
         rel = (pos[valid] - offs[doc_ix[valid]]).astype(np.int64)
         return pa.table({
             "h": pa.array(h.astype(np.int64), pa.int64()),
+            "h2": pa.array(h2.astype(np.int64), pa.int64()),
             "doc": pa.array(doc, pa.int64()),
             "pos": pa.array(rel, pa.int64()),
         })
-    order = np.lexsort((h, doc))
-    h, doc = h[order], doc[order]
+    order = np.lexsort((h2, h, doc))
+    h, h2, doc = h[order], h2[order], doc[order]
     seg = np.ones(len(h), dtype=bool)
-    seg[1:] = (h[1:] != h[:-1]) | (doc[1:] != doc[:-1])
+    seg[1:] = ((h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
+               | (doc[1:] != doc[:-1]))
     starts = np.nonzero(seg)[0]
     cnt = np.diff(np.concatenate([starts, [len(h)]]))
     return pa.table({
         "h": pa.array(h[starts].astype(np.int64), pa.int64()),
+        "h2": pa.array(h2[starts].astype(np.int64), pa.int64()),
         "doc": pa.array(doc[starts], pa.int64()),
         "cnt": pa.array(cnt, pa.int64()),
     })
@@ -167,7 +193,7 @@ def duplicate_position_counts(ds: Dataset, text_col: str, id_col: str,
     occurs in ≥ 2 distinct documents. Output: (``id_col``,
     n_dup_positions), only documents with a positive count.
 
-    ``size_hint_bytes``: pass ~24 x corpus_chars (the gram-stream
+    ``size_hint_bytes``: pass ~32 x corpus_chars (the gram-stream
     width) at real scale so the exchange streams instead of
     materializing the corpus-sized stream for the plan probe."""
     from batch_geocode_ray.stages.aggregates import grouped_aggregate
@@ -176,14 +202,16 @@ def duplicate_position_counts(ds: Dataset, text_col: str, id_col: str,
     def emit_counts(g: pa.Table) -> pa.Table:
         h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
+        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
         doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         cnt = np.asarray(g["cnt"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        order = np.lexsort((doc, h))
-        h, doc, cnt = h[order], doc[order], cnt[order]
+        order = np.lexsort((doc, h2, h))
+        h, h2, doc, cnt = h[order], h2[order], doc[order], cnt[order]
         seg = np.ones(len(h), dtype=bool)
-        seg[1:] = h[1:] != h[:-1]
+        seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
         seg_id = np.cumsum(seg) - 1
         # rows per segment == distinct docs per gram (rows are distinct
         # (h, doc) by construction upstream)
@@ -217,12 +245,15 @@ def duplicate_substring_pairs(ds: Dataset, text_col: str, id_col: str,
     def emit_pairs(g: pa.Table) -> pa.Table:
         h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
+        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
         doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        order = np.lexsort((doc, h))
-        h, doc = h[order], doc[order]
+        order = np.lexsort((doc, h2, h))
+        h, h2, doc = h[order], h2[order], doc[order]
         bounds = np.concatenate(
-            [[0], np.nonzero(h[1:] != h[:-1])[0] + 1, [len(h)]])
+            [[0], np.nonzero((h[1:] != h[:-1])
+                             | (h2[1:] != h2[:-1]))[0] + 1, [len(h)]])
         lens = np.diff(bounds)
         d1s, d2s = [], []
         for si in np.nonzero(lens > 1)[0]:
@@ -288,14 +319,16 @@ def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
     def emit_dup_positions(g: pa.Table) -> pa.Table:
         h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
+        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
         doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        order = np.lexsort((doc, h))
-        h, doc, pos = h[order], doc[order], pos[order]
+        order = np.lexsort((doc, h2, h))
+        h, h2, doc, pos = h[order], h2[order], doc[order], pos[order]
         seg = np.ones(len(h), dtype=bool)
-        seg[1:] = h[1:] != h[:-1]
+        seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
         seg_id = np.cumsum(seg) - 1
         # distinct docs per gram: count doc-changes inside each segment
         doc_start = seg.copy()

@@ -1,0 +1,201 @@
+"""Round-5 ADVICE fixes: threshold-scaled LSH banding, 128-bit
+substring gram identity, plan-independent semi/anti join key handling,
+and pca_project's empty-input error."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+import batch_geocode_ray.stages.dedup as dd
+from batch_geocode_ray.stages.dedup import (
+    lsh_banding_for_threshold,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from batch_geocode_ray.stages.joins import semi_anti_join
+from batch_geocode_ray.stages.similarity import pca_project
+
+
+# ---------------------------------------------------------------------------
+# LSH banding scales with the requested threshold
+# ---------------------------------------------------------------------------
+
+def _miss(t, b, r):
+    return (1.0 - t ** r) ** b
+
+
+def test_lsh_banding_for_threshold_meets_target():
+    # the classic 32x4 at near-dup thresholds, wider bands below
+    assert lsh_banding_for_threshold(0.9) == (32, 4)
+    assert lsh_banding_for_threshold(0.8) == (32, 4)
+    assert lsh_banding_for_threshold(0.5) == (64, 2)
+    assert lsh_banding_for_threshold(0.4) == (64, 2)
+    for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95):
+        b, r = lsh_banding_for_threshold(t)
+        assert b * r == 128
+        assert _miss(t, b, r) <= 1e-4, (t, b, r)
+    # the fixed 32x4 really does collapse at 0.5 (the bug being fixed)
+    assert _miss(0.5, 32, 4) > 0.1
+
+
+def test_minhash_low_threshold_recall():
+    """Pairs at trigram J ~= 0.49 must surface when threshold=0.45 —
+    under the old fixed 32x4 banding each such pair was missed with
+    p ~= 0.16 (expected ~3 of 20 missing); the auto 64x2 banding
+    misses ~2e-17. Deterministic: fixed permutations + fixed texts."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(4000)]
+    ids, texts = [], []
+    want = set()
+    for p in range(20):
+        # shared 40-token prefix + 20 unique tail tokens each:
+        # 38 shared trigrams of 58 per doc -> J = 38/78 ~= 0.487
+        prefix = rng.choice(vocab, 40, replace=False).tolist()
+        only_a = [f"a{p}x{i}" for i in range(20)]
+        only_b = [f"b{p}x{i}" for i in range(20)]
+        ids += [2 * p, 2 * p + 1]
+        texts += [" ".join(prefix + only_a), " ".join(prefix + only_b)]
+        want.add((2 * p, 2 * p + 1))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = {(r["d1"], r["d2"])
+           for r in minhash_lsh_pairs(ds, "text", "doc_id", k=3,
+                                      threshold=0.45,
+                                      verify="trigram").take_all()}
+    assert want <= got
+
+
+def test_ngram_governor_escalation_respects_low_threshold():
+    """Hot-doc pairs escalated through LSH keep recall when the caller
+    asks for a LOW threshold (the banding now follows the threshold)."""
+    boiler = " ".join(f"x{i}" for i in range(30))
+    ids, texts = [], []
+    # 40 docs all sharing the same 30-token boilerplate -> every
+    # boilerplate trigram is hot at max_posting=8, so EVERY pair is
+    # hot x hot and rides the LSH escalation. 13 unique tail tokens
+    # per doc put each pair at J = 28 / (41 + 41 - 28) ~= 0.519: the
+    # old fixed 32x4 banding missed such a pair with p ~= 0.09
+    # (expected ~70 of 780 pairs absent); the threshold-scaled 64x2
+    # banding misses with p ~= 2e-9.
+    for i in range(40):
+        ids.append(i)
+        texts.append(boiler + " " + " ".join(f"u{i}y{j}"
+                                             for j in range(13)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.45,
+                              max_posting=8).take_all()
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in got}
+    assert len(pairs) == 40 * 39 // 2
+    for v in pairs.values():
+        assert abs(v - 28 / 54) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# substring: 128-bit gram identity
+# ---------------------------------------------------------------------------
+
+def test_lgram_table_double_hash_columns():
+    from batch_geocode_ray.stages.substring import _lgram_table
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["abcdefghij", "abcdefghij"], pa.string()),
+    })
+    out = _lgram_table(t, "text", "doc_id", L=5)
+    assert set(out.column_names) == {"h", "h2", "doc", "cnt"}
+    # identical texts -> identical (h, h2) multisets per doc
+    rows = sorted(zip(out["doc"].to_pylist(), out["h"].to_pylist(),
+                      out["h2"].to_pylist()))
+    d1 = [(h, h2) for d, h, h2 in rows if d == 1]
+    d2 = [(h, h2) for d, h, h2 in rows if d == 2]
+    assert d1 == d2 and len(d1) == 6
+    # distinct grams -> distinct identities on BOTH hashes (h2 is not a
+    # function of h: different bases)
+    assert len({h for h, _ in d1}) == 6
+    assert len({h2 for _, h2 in d1}) == 6
+
+
+def test_roll_hashes_bases_independent():
+    from batch_geocode_ray.stages.substring import (
+        _B, _B2, _B_INV, _B2_INV, _roll_hashes)
+
+    by = (np.frombuffer(b"the quick brown fox jumps", np.uint8)
+          .astype(np.uint64) + np.uint64(1))
+    h1 = _roll_hashes(by, 8, _B, _B_INV)
+    h2 = _roll_hashes(by, 8, _B2, _B2_INV)
+    assert len(h1) == len(h2) == len(by) - 7
+    assert not np.array_equal(h1, h2)
+    # each matches a direct Horner evaluation of
+    # sum_j by[i+j] * base^(L-1-j)
+    for base, got in ((_B, h1), (_B2, h2)):
+        for i in (0, 5, len(h1) - 1):
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for j in range(8):
+                    acc = acc * base + by[i + j]
+            assert acc == got[i]
+
+
+# ---------------------------------------------------------------------------
+# semi_anti_join: plan-independent key handling
+# ---------------------------------------------------------------------------
+
+def _str_tables():
+    big = rd.from_arrow(pa.table({
+        "u": pa.array([f"url{i % 7}" for i in range(50)], pa.string()),
+        "x": pa.array(range(50), pa.int64()),
+    })).repartition(4)
+    keys = rd.from_arrow(pa.table({
+        "u": pa.array(["url1", "url3", "urlMISSING"], pa.string())}))
+    return big, keys
+
+
+def test_semi_anti_join_string_keys_both_plans(monkeypatch):
+    big, keys = _str_tables()
+    want_semi = sorted(i for i in range(50) if i % 7 in (1, 3))
+    want_anti = sorted(i for i in range(50) if i % 7 not in (1, 3))
+
+    def run():
+        semi = sorted(r["x"] for r in
+                      semi_anti_join(big, keys, "u").take_all())
+        anti = sorted(r["x"] for r in
+                      semi_anti_join(big, keys, "u", anti=True).take_all())
+        return semi, anti
+
+    assert run() == (want_semi, want_anti)          # broadcast plan
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    assert run() == (want_semi, want_anti)          # exchange plan
+    # output schema unchanged (no internal hash column leaks)
+    out = semi_anti_join(big, keys, "u").take_all()
+    assert set(out[0].keys()) == {"u", "x"}
+
+
+def test_semi_anti_join_bad_key_type_raises_on_both_plans(monkeypatch):
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1.5, 2.5], pa.float64())}))
+    keys = rd.from_arrow(pa.table({
+        "k": pa.array([1.5], pa.float64())}))
+    with pytest.raises(TypeError, match="integer or string"):
+        semi_anti_join(big, keys, "k")
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)
+    with pytest.raises(TypeError, match="integer or string"):
+        semi_anti_join(big, keys, "k")
+
+
+# ---------------------------------------------------------------------------
+# pca_project: empty input error is the designed one
+# ---------------------------------------------------------------------------
+
+def test_pca_project_empty_input_raises_value_error():
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    with pytest.raises(ValueError, match="empty input"):
+        pca_project(empty, "embedding", "vec_id", k=2)
