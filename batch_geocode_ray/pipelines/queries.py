@@ -2962,40 +2962,41 @@ def q75_embedding_pca(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 
 # Registry ORDER is a gating surface, not cosmetics: the driver's
-# correctness gate records the first ~50 entries only (round-3 record
-# stopped at exactly 50 of 71 — see VERDICT r3 "Next round" #1), so
-# entries without a prior driver-green row MUST surface first.
-#   Tier 1 — queries with no CORRECTNESS_r03 row (q51+ and newer).
-#   Tier 2 — flagship gates + one anchor per operator family (these
-#            keep fresh driver rows every round).
-#   Tier 3 — remainder (driver-green in r03; re-gated as budget allows).
+# correctness gate records the first ~50 entries only, so the rotation
+# is least-recently-verified (VERDICT r4 "Next round" #1):
+#   Tier 1 — the 25 queries with no CORRECTNESS_r04 row (driver-green
+#            in r1–r3, rotated out of r4's 50-row gate).
+#   Tier 2 — flagship gates + one anchor per operator family, all
+#            gated in r4; re-gated now so the core surface keeps a
+#            fresh driver row every round.
+#   Tier 3 — q51–q75: gated most recently (r4); out this round.
 QUERIES = {
-    # --- tier 1: not yet driver-gated ---
-    "q72_dup_substring_pairs": q72_dup_substring_pairs,
-    "q73_dup_substring_positions": q73_dup_substring_positions,
-    "q74_dup_span_coverage": q74_dup_span_coverage,
-    "q75_embedding_pca": q75_embedding_pca,
-    "q51_user_interarrival": q51_user_interarrival,
-    "q52_order_sample_stats": q52_order_sample_stats,
-    "q53_event_type_pivot": q53_event_type_pivot,
-    "q54_fuzzy_supplier_pairs": q54_fuzzy_supplier_pairs,
-    "q55_customer_rollup": q55_customer_rollup,
-    "q56_dedup_clusters": q56_dedup_clusters,
-    "q57_corpus_vocab": q57_corpus_vocab,
-    "q58_token_postings": q58_token_postings,
-    "q59_text_redact": q59_text_redact,
-    "q60_tfidf_top_terms": q60_tfidf_top_terms,
-    "q61_stratified_sample": q61_stratified_sample,
-    "q62_bloom_blocklist": q62_bloom_blocklist,
-    "q63_engaged_users": q63_engaged_users,
-    "q64_user_event_type_sets": q64_user_event_type_sets,
-    "q65_embedding_gram": q65_embedding_gram,
-    "q66_daily_reconciliation": q66_daily_reconciliation,
-    "q67_grouped_distinct_hll": q67_grouped_distinct_hll,
-    "q68_segment_priority_cube": q68_segment_priority_cube,
-    "q69_source_lang_entropy": q69_source_lang_entropy,
-    "q70_event_transitions": q70_event_transitions,
-    "q71_doc_repetition": q71_doc_repetition,
+    # --- tier 1: least-recently gated (r1–r3 only) ---
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_items": q02_top_revenue_items,
+    "q03_segment_revenue": q03_segment_revenue,
+    "q04_brand_volume": q04_brand_volume,
+    "q05_region_nation_customers": q05_region_nation_customers,
+    "q06_order_priorities": q06_order_priorities,
+    "q07_events_hourly": q07_events_hourly,
+    "q08_user_event_stats": q08_user_event_stats,
+    "q09_doc_tokens": q09_doc_tokens,
+    "q10_doc_quality": q10_doc_quality,
+    "q11_doc_langid": q11_doc_langid,
+    "q13_doc_langs": q13_doc_langs,
+    "q14_gazetteer_mentions": q14_gazetteer_mentions,
+    "q19_simhash_neardup": q19_simhash_neardup,
+    "q21_ivf_knn": q21_ivf_knn,
+    "q24_image_features": q24_image_features,
+    "q25_audio_frames": q25_audio_frames,
+    "q29_customers_without_urgent": q29_customers_without_urgent,
+    "q30_nations_with_presence": q30_nations_with_presence,
+    "q31_event_props": q31_event_props,
+    "q32_rasterize_events": q32_rasterize_events,
+    "q35_embedding_clusters": q35_embedding_clusters,
+    "q36_domain_stats": q36_domain_stats,
+    "q39_hopping_windows": q39_hopping_windows,
+    "q50_event_rank_windows": q50_event_rank_windows,
     # --- tier 2: flagship gates + operator-family anchors ---
     "q45_vet_mark_best": q45_vet_mark_best,
     "q46_geocode_best": q46_geocode_best,
@@ -3022,32 +3023,32 @@ QUERIES = {
     "q41_url_canonical": q41_url_canonical,
     "q42_signup_followup_counts": q42_signup_followup_counts,
     "q43_user_moving_avg": q43_user_moving_avg,
-    "q39_hopping_windows": q39_hopping_windows,
-    "q32_rasterize_events": q32_rasterize_events,
-    "q31_event_props": q31_event_props,
-    "q36_domain_stats": q36_domain_stats,
-    # --- tier 3: driver-green in r03 ---
-    "q01_pricing_summary": q01_pricing_summary,
-    "q02_top_revenue_items": q02_top_revenue_items,
-    "q03_segment_revenue": q03_segment_revenue,
-    "q04_brand_volume": q04_brand_volume,
-    "q05_region_nation_customers": q05_region_nation_customers,
-    "q06_order_priorities": q06_order_priorities,
-    "q07_events_hourly": q07_events_hourly,
-    "q08_user_event_stats": q08_user_event_stats,
-    "q09_doc_tokens": q09_doc_tokens,
-    "q10_doc_quality": q10_doc_quality,
-    "q11_doc_langid": q11_doc_langid,
-    "q13_doc_langs": q13_doc_langs,
-    "q14_gazetteer_mentions": q14_gazetteer_mentions,
-    "q19_simhash_neardup": q19_simhash_neardup,
-    "q21_ivf_knn": q21_ivf_knn,
-    "q24_image_features": q24_image_features,
-    "q25_audio_frames": q25_audio_frames,
-    "q29_customers_without_urgent": q29_customers_without_urgent,
-    "q30_nations_with_presence": q30_nations_with_presence,
-    "q35_embedding_clusters": q35_embedding_clusters,
-    "q50_event_rank_windows": q50_event_rank_windows,
+    # --- tier 3: gated in r4, rotated out this round ---
+    "q51_user_interarrival": q51_user_interarrival,
+    "q52_order_sample_stats": q52_order_sample_stats,
+    "q53_event_type_pivot": q53_event_type_pivot,
+    "q54_fuzzy_supplier_pairs": q54_fuzzy_supplier_pairs,
+    "q55_customer_rollup": q55_customer_rollup,
+    "q56_dedup_clusters": q56_dedup_clusters,
+    "q57_corpus_vocab": q57_corpus_vocab,
+    "q58_token_postings": q58_token_postings,
+    "q59_text_redact": q59_text_redact,
+    "q60_tfidf_top_terms": q60_tfidf_top_terms,
+    "q61_stratified_sample": q61_stratified_sample,
+    "q62_bloom_blocklist": q62_bloom_blocklist,
+    "q63_engaged_users": q63_engaged_users,
+    "q64_user_event_type_sets": q64_user_event_type_sets,
+    "q65_embedding_gram": q65_embedding_gram,
+    "q66_daily_reconciliation": q66_daily_reconciliation,
+    "q67_grouped_distinct_hll": q67_grouped_distinct_hll,
+    "q68_segment_priority_cube": q68_segment_priority_cube,
+    "q69_source_lang_entropy": q69_source_lang_entropy,
+    "q70_event_transitions": q70_event_transitions,
+    "q71_doc_repetition": q71_doc_repetition,
+    "q72_dup_substring_pairs": q72_dup_substring_pairs,
+    "q73_dup_substring_positions": q73_dup_substring_positions,
+    "q74_dup_span_coverage": q74_dup_span_coverage,
+    "q75_embedding_pca": q75_embedding_pca,
 }
 
 ORACLE_SQL = {
