@@ -77,16 +77,20 @@ def _sort_single(ds: Dataset, keys: list[str]) -> Dataset:
                                          batch_size=None)
 
 
-def _sort_adaptive(ds: Dataset, keys: list[str] | str) -> Dataset:
+def _sort_adaptive(ds: Dataset, keys: list[str] | str,
+                   size_hint_bytes: int | None = None) -> Dataset:
     """Final ordering with the same adaptive shape as the dedup ops: a
     Ray ``sort`` is an all-to-all with a ~1-2 s fixed floor that small
     results (gate outputs, per-row projections at test scale) don't
     need — probe the materialized size and sort in ONE task below the
-    collapse threshold, distributed above it (the 10^12-row plan)."""
+    collapse threshold, distributed above it (the 10^12-row plan).
+    ``size_hint_bytes`` >= the collapse threshold skips the probe and
+    feeds the stream straight into the distributed sort — pass it for
+    O(corpus)-sized outputs so the result is never pinned twice."""
     from batch_geocode_ray.stages.dedup import _probe_small
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    m, small = _probe_small(ds)
+    m, small, _ = _probe_small(ds, size_hint_bytes=size_hint_bytes)
     if small:
         return _sort_single(m, keys)
     return m.sort(keys)
@@ -1239,7 +1243,8 @@ def _distinct_exact_and_hll(ds: Dataset, col: str, p: int = 12
 
     from batch_geocode_ray.stages.dedup import _one_task, _probe_small
 
-    hashed, small = _probe_small(ds.map_batches(to_h, batch_format="pyarrow"))
+    hashed, small, _ = _probe_small(
+        ds.map_batches(to_h, batch_format="pyarrow"))
     if small:
         # skip the groupby all-to-all (~1-2s fixed): one task unions the
         # per-batch-unique hashes and emits count + registers directly

@@ -87,13 +87,18 @@ def _minlabel_fixpoint(nodes: np.ndarray, ia: np.ndarray,
     return nodes[lbl]
 
 
-def connected_components(edges: Dataset, a_col: str, b_col: str) -> Dataset:
+def connected_components(edges: Dataset, a_col: str, b_col: str,
+                         size_hint_bytes: int | None = None) -> Dataset:
     """Label every node that appears in ``edges`` with its component id
     (= the minimum node id in the component). Returns a Dataset with
     columns ``node``/``label`` (int64). Nodes with no edges simply
     don't appear — callers label them with their own id (see q56).
+    ``size_hint_bytes`` (~16 B x edges): pass at real scale so the edge
+    projection streams into round 1 instead of materializing for the
+    plan probe (rounds still bound label blocks via the governor).
     """
-    proj, small = _probe_small(edges.select_columns([a_col, b_col]))
+    proj, small, _ = _probe_small(edges.select_columns([a_col, b_col]),
+                                  size_hint_bytes=size_hint_bytes)
     if small:
         def one(b: pa.Table) -> pa.Table:
             a = np.asarray(b[a_col].to_numpy(zero_copy_only=False),
@@ -304,13 +309,15 @@ def _cc_distributed(edges: Dataset, a_col: str, b_col: str) -> Dataset:
 
 
 def label_all_nodes(nodes: Dataset, node_col: str,
-                    labels: Dataset) -> Dataset:
+                    labels: Dataset,
+                    size_hint_bytes: int | None = None) -> Dataset:
     """Left-join component labels onto the FULL node table; nodes
     outside any edge keep their own id as the label. Size-probed: the
-    label table broadcasts when small, hash-joins when not."""
+    label table broadcasts when small, hash-joins when not (pass
+    ``size_hint_bytes`` ~16 B x labeled nodes to skip the probe)."""
     from batch_geocode_ray.stages.joins import broadcast_join
 
-    m, small = _probe_small(labels)
+    m, small, _ = _probe_small(labels, size_hint_bytes=size_hint_bytes)
     if small:
         parts = list(
             m.map_batches(

@@ -204,7 +204,8 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
                          threshold: float = 0.4,
                          method: str = "exact",
                          bands: int = 16, rows: int = 8,
-                         seed: int = 23) -> Dataset:
+                         seed: int = 23,
+                         size_hint_bytes: int | None = None) -> Dataset:
     """All (a < b) vector pairs with cosine >= threshold.
     Output: (d1, d2, cosine).
 
@@ -213,22 +214,37 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
         small-collapse threshold) -> the whole exact join runs in ONE
         task.
       * ``method="exact"`` at scale -> block-pair tiling: the dataset's
-        blocks stay in the object store; one Ray task per block pair
-        (i <= j) fetches exactly two blocks and emits its
-        above-threshold pairs. Exact at ANY threshold; the quadratic
-        compute is inherent to an exact similarity join (raw tasks used
-        because a triangular self-join has no Dataset-API shape).
+        blocks stay in the object store (the projection MUST
+        materialize here — the triangular tiling addresses blocks by
+        ref); one Ray task per block pair (i <= j) fetches exactly two
+        blocks and emits its above-threshold pairs. Exact at ANY
+        threshold; the quadratic compute is inherent to an exact
+        similarity join (raw tasks used because a triangular self-join
+        has no Dataset-API shape).
       * ``method="lsh"`` -> random-hyperplane LSH: sign bits of
         ``bands*rows`` fixed projections, banded into ``bands`` bucket
         keys; within-bucket exact cosine verify, then a pair-distinct
         groupby. Linear shuffle, no false positives; recall follows the
         banding S-curve — right for true near-dup thresholds (>= ~0.7;
         at 0.4 the hyperplane collision rate barely prunes, use exact).
+        The LSH path STREAMS: it needs one ``take_batch(1)`` for the
+        vector dim, never the whole projection — pass
+        ``size_hint_bytes`` (~vec bytes x rows) and the (id, vec)
+        projection is never pinned in the object store (at 10^9
+        embeddings x 1 KB the old unconditional materialize pinned
+        ~1 TB the plan didn't need).
     """
     from batch_geocode_ray.stages import dedup as _dd  # shared knob
 
-    proj = ds.select_columns([id_col, vec_col]).materialize()
-    small = (proj.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES
+    if method == "lsh":
+        proj, small, probed_bytes = _dd._probe_small(
+            ds.select_columns([id_col, vec_col]),
+            size_hint_bytes=size_hint_bytes)
+    else:
+        # block-pair tiling is ref-addressed: materialization inherent
+        proj = ds.select_columns([id_col, vec_col]).materialize()
+        probed_bytes = proj.size_bytes() or 0
+        small = probed_bytes < _dd.SMALL_COLLAPSE_BYTES
 
     if small and method != "lsh":
         def one(b: pa.Table) -> pa.Table:
@@ -253,7 +269,7 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
         import ray.data as rd
         return rd.from_arrow_refs(tiles)
 
-    # ---- LSH plan ----
+    # ---- LSH plan (streams: only one batch is ever pulled eagerly) ----
     n_planes = bands * rows
     first = proj.take_batch(1, batch_format="pyarrow")
     dim = _matrix_of(first, vec_col).shape[1]
@@ -262,7 +278,7 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
     from batch_geocode_ray.stages.dedup import adaptive_bucket_count
 
     # exchange carries `bands` copies of each (id, vec) row
-    n_buckets = adaptive_bucket_count(bands * (proj.size_bytes() or 0))
+    n_buckets = adaptive_bucket_count(bands * probed_bytes)
 
     def band_rows(b: pa.Table) -> pa.Table:
         from batch_geocode_ray.functions.hashing import splitmix64

@@ -47,22 +47,16 @@ def _bucketed_groups(ds: Dataset, bucket_fn, group_fn,
     clears the small threshold, the exchange runs FULLY STREAMING: no
     probe, no materialization, bucket count derived from the hint."""
     from batch_geocode_ray.stages.dedup import (
-        SMALL_COLLAPSE_BYTES,
         _one_task,
         _probe_small,
         adaptive_bucket_count,
     )
 
-    if size_hint_bytes is not None and size_hint_bytes >= SMALL_COLLAPSE_BYTES:
-        nb = n_buckets or adaptive_bucket_count(size_hint_bytes)
-        return (ds.map_batches(lambda b: bucket_fn(b, nb),
-                               batch_format="pyarrow")
-                .groupby("_bucket")
-                .map_groups(group_fn, batch_format="pyarrow"))
-    m, small = _probe_small(ds)
+    m, small, probed_bytes = _probe_small(ds,
+                                          size_hint_bytes=size_hint_bytes)
     if small:
         return _one_task(m, group_fn)
-    nb = n_buckets or adaptive_bucket_count(m.size_bytes() or 0)
+    nb = n_buckets or adaptive_bucket_count(probed_bytes)
     return (m.map_batches(lambda b: bucket_fn(b, nb),
                           batch_format="pyarrow")
             .groupby("_bucket")

@@ -199,3 +199,110 @@ def test_pca_project_empty_input_raises_value_error():
     }))
     with pytest.raises(ValueError, match="empty input"):
         pca_project(empty, "embedding", "vec_id", k=2)
+
+
+# ---------------------------------------------------------------------------
+# size_hint_bytes: every probed op streams when hinted (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+def _docs_ds():
+    texts = (["alpha beta gamma delta"] * 3
+             + ["epsilon zeta eta theta"] * 2
+             + [f"unique text number {i} with words" for i in range(20)])
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+
+
+def _rows(ds):
+    return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def test_size_hint_skips_materialize_everywhere(monkeypatch):
+    """With a hint >= SMALL_COLLAPSE_BYTES no op in the hinted family
+    may call Dataset.materialize at ALL (plan construction or
+    execution) — the probe is the only materializer they had."""
+    from ray.data import Dataset
+
+    from batch_geocode_ray.stages.dedup import (
+        edit_distance_pairs,
+        exact_dedup,
+        fingerprint_dedup,
+        fingerprint_dup_pairs,
+        simhash_pairs,
+    )
+    from batch_geocode_ray.stages.similarity import cosine_neardup_pairs
+    from batch_geocode_ray.pipelines.queries import _sort_adaptive
+
+    docs = _docs_ds()
+    rng = np.random.default_rng(7)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(
+            [r.tolist() for r in rng.normal(size=(40, 8))],
+            pa.list_(pa.float32())),
+    })).repartition(4)
+    H = 1 << 40
+
+    plans = {
+        "exact_dedup": lambda: exact_dedup(
+            docs, "text", "doc_id", size_hint_bytes=H),
+        "fingerprint_dedup": lambda: fingerprint_dedup(
+            docs, "text", "doc_id", size_hint_bytes=H),
+        "fingerprint_dup_pairs": lambda: fingerprint_dup_pairs(
+            docs, "text", "doc_id", size_hint_bytes=H),
+        "simhash_pairs": lambda: simhash_pairs(
+            docs, "text", "doc_id", size_hint_bytes=H),
+        "edit_distance_pairs": lambda: edit_distance_pairs(
+            docs, "text", "doc_id", max_dist=1, size_hint_bytes=H),
+        "cosine_lsh": lambda: cosine_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=0.7, method="lsh",
+            size_hint_bytes=H),
+        "sort_adaptive": lambda: _sort_adaptive(
+            docs, "doc_id", size_hint_bytes=H),
+    }
+    unhinted = {
+        "exact_dedup": lambda: exact_dedup(docs, "text", "doc_id"),
+        "fingerprint_dedup": lambda: fingerprint_dedup(
+            docs, "text", "doc_id"),
+        "fingerprint_dup_pairs": lambda: fingerprint_dup_pairs(
+            docs, "text", "doc_id"),
+        "simhash_pairs": lambda: simhash_pairs(docs, "text", "doc_id"),
+        "edit_distance_pairs": lambda: edit_distance_pairs(
+            docs, "text", "doc_id", max_dist=1),
+        "cosine_lsh": lambda: cosine_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=0.7, method="lsh"),
+        "sort_adaptive": lambda: _sort_adaptive(docs, "doc_id"),
+    }
+
+    want = {name: _rows(fn()) for name, fn in unhinted.items()}
+
+    real_materialize = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    for name, fn in plans.items():
+        monkeypatch.setattr(Dataset, "materialize", forbidden)
+        try:
+            got = _rows(fn())
+        finally:
+            monkeypatch.setattr(Dataset, "materialize", real_materialize)
+        assert got == want[name], name
+
+
+def test_connected_components_hint_same_result():
+    from batch_geocode_ray.stages.graph import connected_components
+
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+        "b": pa.array([2, 3, 4, 11, 12, 21], pa.int64()),
+    })).repartition(3)
+    want = sorted((r["node"], r["label"]) for r in
+                  connected_components(edges, "a", "b").take_all())
+    got = sorted((r["node"], r["label"]) for r in
+                 connected_components(edges, "a", "b",
+                                      size_hint_bytes=1 << 40).take_all())
+    assert got == want
+    assert want[0] == (1, 1)
