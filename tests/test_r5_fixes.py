@@ -306,3 +306,83 @@ def test_connected_components_hint_same_result():
                                       size_hint_bytes=1 << 40).take_all())
     assert got == want
     assert want[0] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# PIP R-tree: internal-node descent is sublinear in leaves
+# ---------------------------------------------------------------------------
+
+def _grid_polygon_table(side):
+    """side x side unit squares; admin_id = row-major cell index."""
+    ids, lons, lats = [], [], []
+    for j in range(side):
+        for i in range(side):
+            ids.append(j * side + i)
+            lons.append([float(i), float(i + 1), float(i + 1),
+                         float(i), float(i)])
+            lats.append([float(j), float(j), float(j + 1),
+                         float(j + 1), float(j)])
+    return pa.table({
+        "admin_id": pa.array(ids, pa.int64()),
+        "admin_level": pa.array([1] * len(ids), pa.int64()),
+        "cc": pa.array([f"c{i % 97}" for i in ids], pa.string()),
+        "ring_lons": pa.array(lons, pa.list_(pa.float64())),
+        "ring_lats": pa.array(lats, pa.list_(pa.float64())),
+    })
+
+
+def test_pip_tree_descent_correct_and_sublinear():
+    from batch_geocode_ray.stages.pip import PolygonIndex
+
+    side = 320                      # 102,400 polygons
+    idx = PolygonIndex(_grid_polygon_table(side))
+    n_leaves = len(idx.leaves)
+    assert n_leaves > 10_000
+    assert len(idx.inner_levels) >= 2   # a real hierarchy, not one root
+
+    rng = np.random.default_rng(3)
+    # clustered batch: points inside a 4x4-cell window (strict interior)
+    cx, cy = 100, 200
+    px = cx + rng.uniform(0.05, 3.95, 1000)
+    py = cy + rng.uniform(0.05, 3.95, 1000)
+    ids, levels, cc = idx.assign(px, py)
+    want = (np.floor(py).astype(np.int64) * side
+            + np.floor(px).astype(np.int64))
+    assert np.array_equal(ids, want)
+    assert (levels == 1).all()
+    assert cc[0] == f"c{int(want[0]) % 97}"
+    # the descent must prune nearly everything: a 4x4-cell window
+    # touches a handful of leaves, not the 12k+ leaf directory
+    assert idx.last_leaf_visits < n_leaves // 100, idx.last_leaf_visits
+
+    # scattered batch incl. points outside every polygon
+    px2 = rng.uniform(-5, side + 5, 500)
+    py2 = rng.uniform(-5, side + 5, 500)
+    ids2, levels2, _ = idx.assign(px2, py2)
+    inside = ((px2 >= 0) & (px2 <= side) & (py2 >= 0) & (py2 <= side))
+    strict = (inside & (px2 % 1 != 0) & (py2 % 1 != 0))
+    want2 = np.floor(py2).astype(np.int64) * side \
+        + np.floor(px2).astype(np.int64)
+    assert np.array_equal(ids2[strict], want2[strict])
+    assert (ids2[~inside] == -1).all()
+    assert (levels2[~inside] == -1).all()
+
+
+def test_pip_tree_matches_flat_scan_small():
+    """With few polygons there is no internal level and behavior is the
+    pre-existing linear scan; with a tiny node_capacity the same
+    polygons answer identically through a forced multi-level tree."""
+    from batch_geocode_ray.stages.pip import PolygonIndex
+
+    t = _grid_polygon_table(7)      # 49 polygons
+    flat = PolygonIndex(t)          # 49 <= default capacities -> flat-ish
+    deep = PolygonIndex(t, leaf_capacity=2, node_capacity=2)
+    assert len(deep.inner_levels) >= 3
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-1, 8, 400)
+    py = rng.uniform(-1, 8, 400)
+    f_ids, f_lv, f_cc = flat.assign(px, py)
+    d_ids, d_lv, d_cc = deep.assign(px, py)
+    assert np.array_equal(f_ids, d_ids)
+    assert np.array_equal(f_lv, d_lv)
+    assert f_cc == d_cc
