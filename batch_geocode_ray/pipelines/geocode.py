@@ -153,6 +153,32 @@ def _read_num_blocks(paths) -> int | None:
 # 960k pages ran 15.4s under actors vs 4.2s under cached tasks).
 _FUSED_STATE_CACHE: dict = {}
 
+# stateful_mode="auto" memory model: task mode keeps ONE built-state
+# copy in EVERY worker process that ever runs the stage — up to
+# cluster-CPUs copies (32 workers x a 2 GB gazetteer = 64 GB of heap).
+# Actor mode caps residency at the pool size and amortizes its ~10 s
+# spin-up over the long runs a huge state implies. Auto picks actor
+# once the broadcast inputs (gazetteer + polygons + facilities tables,
+# a lower bound on built-state size) exceed this threshold.
+AUTO_ACTOR_STATE_BYTES = 1 << 30
+
+
+def _resolve_stateful_mode(mode: str, gazetteer: pa.Table,
+                           admin_polygons: pa.Table | None,
+                           facilities: pa.Table | None) -> str:
+    """``"auto"`` -> "task" below :data:`AUTO_ACTOR_STATE_BYTES` of
+    broadcast-input bytes, "actor" at/above; explicit modes pass
+    through. Both physical plans are value-identical
+    (tests/test_fused_stage.py)."""
+    if mode != "auto":
+        return mode
+    state = gazetteer.nbytes
+    if admin_polygons is not None:
+        state += admin_polygons.nbytes
+    if facilities is not None:
+        state += facilities.nbytes
+    return "actor" if state >= AUTO_ACTOR_STATE_BYTES else "task"
+
 
 def _fused_task_fn(batch: pa.Table, *, cache_key, gazetteer, config,
                    lang_cc_prior, polygons, facilities,
@@ -176,19 +202,21 @@ def build_geocode_pipeline(pages_path: str | list[str],
                            verify_extraction: bool = False,
                            with_knn: bool = False,
                            fused: bool = True,
-                           stateful_mode: str = "task") -> Dataset:
+                           stateful_mode: str = "auto") -> Dataset:
     """Page-level geocode Dataset: url/lang + wide geocode columns +
     cells + admin assignment (+ optional kNN).
 
     ``fused=True`` (default) runs the whole per-page chain in one
     stage; ``fused=False`` keeps one operator per stage (per-stage
     stats, tests). ``stateful_mode`` picks the fused stage's physical
-    plan: ``"task"`` (default) caches the built state per worker
-    process — instant full-cluster parallelism, right whenever the
-    state fits comfortably in every worker; ``"actor"`` uses an
-    explicit actor pool — the right plan when the broadcast state is
-    huge (multi-GB gazetteers) and you want pool-controlled memory
-    residency instead of one copy per worker."""
+    plan: ``"task"`` caches the built state per worker process —
+    instant full-cluster parallelism, right whenever the state fits
+    comfortably in every worker; ``"actor"`` uses an explicit actor
+    pool — the right plan when the broadcast state is huge (multi-GB
+    gazetteers) and you want pool-controlled memory residency instead
+    of one copy per worker. ``"auto"`` (default) picks by measured
+    broadcast-state size (:func:`_resolve_stateful_mode`,
+    threshold :data:`AUTO_ACTOR_STATE_BYTES`)."""
     gaz_index = GazetteerIndex.from_table(gazetteer)
     cfg = cfg or PipelineConfig(sources=gaz_index.sources)
     if lang_cc_prior is None:
@@ -217,6 +245,9 @@ def build_geocode_pipeline(pages_path: str | list[str],
                          override_num_blocks=_read_num_blocks(pages_path))
 
     if fused:
+        stateful_mode = _resolve_stateful_mode(
+            stateful_mode, gazetteer, admin_polygons,
+            facilities if with_knn else None)
         poly_ref = (ray.put(PolygonIndex(admin_polygons))
                     if admin_polygons is not None else None)
         fac_ref = (ray.put(FacilityIndex(facilities))

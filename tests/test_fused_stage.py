@@ -32,6 +32,36 @@ def test_fused_equals_unfused():
         assert a == b == c
 
 
+def test_stateful_mode_auto_threshold(monkeypatch):
+    """auto -> task below AUTO_ACTOR_STATE_BYTES of broadcast-input
+    bytes, actor at/above; explicit modes pass through; the pipeline
+    output is mode-independent (pinned by test_fused_equals_unfused)."""
+    import batch_geocode_ray.pipelines.geocode as g
+    from batch_geocode_ray.sources.fixtures import generate_world
+
+    w = generate_world()
+    small = w.gazetteer.nbytes + w.admin_polygons.nbytes
+    assert g._resolve_stateful_mode(
+        "auto", w.gazetteer, w.admin_polygons, None) == "task"
+    monkeypatch.setattr(g, "AUTO_ACTOR_STATE_BYTES", small)
+    assert g._resolve_stateful_mode(
+        "auto", w.gazetteer, w.admin_polygons, None) == "actor"
+    monkeypatch.setattr(g, "AUTO_ACTOR_STATE_BYTES", small + 1)
+    assert g._resolve_stateful_mode(
+        "auto", w.gazetteer, w.admin_polygons, None) == "task"
+    # facilities count toward the state only when broadcast
+    monkeypatch.setattr(g, "AUTO_ACTOR_STATE_BYTES",
+                        small + w.facilities.nbytes)
+    assert g._resolve_stateful_mode(
+        "auto", w.gazetteer, w.admin_polygons, w.facilities) == "actor"
+    # explicit modes never re-resolve
+    monkeypatch.setattr(g, "AUTO_ACTOR_STATE_BYTES", 0)
+    assert g._resolve_stateful_mode(
+        "task", w.gazetteer, None, None) == "task"
+    assert g._resolve_stateful_mode(
+        "actor", w.gazetteer, None, None) == "actor"
+
+
 def test_read_num_blocks_sizing(tmp_path):
     """Read-block sizing: ~32MB blocks with a 3-tasks/CPU floor for big
     inputs, but never sub-MB blocks for small inputs (the floor once
