@@ -100,6 +100,24 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a table — the basis for derived-stream size
+    hints (input bytes x a per-op width factor). Factors are chosen
+    CONSERVATIVE (underestimates): a low hint just means the probe
+    still runs and measures (today's behavior at test scale), while at
+    corpus scale any reasonable factor clears SMALL_COLLAPSE_BYTES and
+    the op streams without pinning its derived stream."""
+    import os
+
+    p = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(e.stat().st_size for e in os.scandir(p))
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
 # ---------------------------------------------------------------------------
 # relational: filter / project / groupby / join / sort / topk / distinct
 # ---------------------------------------------------------------------------
@@ -437,7 +455,9 @@ FROM h ORDER BY doc_id
 
 def q12_dedup_exact(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(docs, "text", "doc_id")
+    # hashed stream is 16 B/row vs ~0.5-1 KB/row of compressed input
+    return exact_dedup(docs, "text", "doc_id",
+                       size_hint_bytes=_table_bytes(sf_dir, "documents") // 32)
 
 
 SQL_Q12 = """
@@ -528,7 +548,11 @@ ORDER BY t.doc_id, g.name
 
 def q15_ngram_dup_pairs(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    # gram stream ~24 B/token over ~file_bytes/3 tokens (x2 parquet
+    # compression) => ~8x file bytes; x2 is the conservative floor
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        size_hint_bytes=2 * _table_bytes(sf_dir, "documents"))
 
 
 SQL_Q15 = f"""
@@ -624,8 +648,9 @@ def q18_minhash_neardup(sf_dir: str) -> Dataset:
     """MinHash+LSH near-dup with EXACT trigram verification: banding
     prunes candidates, verification recomputes the true k-gram Jaccard
     of each candidate — so the output equals the exact similarity
-    join's whenever banding recall holds (32 bands x 4 rows: P(miss a
-    J=0.8 pair) = (1-0.8^4)^32 ≈ 4e-9, deterministic seeds). That
+    join's whenever banding recall holds (threshold 0.8 auto-resolves
+    to 32 bands x 4 rows: P(miss a J=0.8 pair) = (1-0.8^4)^32 ≈ 5e-8,
+    vanishing above — ≈1.5e-15 at J=0.9; deterministic seeds). That
     makes the LSH path fully SQL-oracle-gated (same oracle as q15, a
     different physical plan — like q26 vs q03)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -639,7 +664,8 @@ SQL_Q18 = SQL_Q15
 
 def q19_simhash_neardup(sf_dir: str) -> Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3,
+                         size_hint_bytes=_table_bytes(sf_dir, "documents") // 32)
 
 
 def q20_fingerprint_dedup(sf_dir: str) -> Dataset:
@@ -2901,7 +2927,10 @@ def q73_dup_substring_positions(sf_dir: str) -> Dataset:
     from batch_geocode_ray.stages.substring import duplicate_position_counts
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return duplicate_position_counts(docs, "text", "doc_id", L=40)
+    # gram stream ~32 B/char over ~2x-compressed text: x8 conservative
+    return duplicate_position_counts(
+        docs, "text", "doc_id", L=40,
+        size_hint_bytes=8 * _table_bytes(sf_dir, "documents"))
 
 
 SQL_Q73 = """
@@ -2927,7 +2956,9 @@ def q74_dup_span_coverage(sf_dir: str) -> Dataset:
     from batch_geocode_ray.stages.substring import duplicate_span_coverage
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return duplicate_span_coverage(docs, "text", "doc_id", L=40)
+    return duplicate_span_coverage(
+        docs, "text", "doc_id", L=40,
+        size_hint_bytes=8 * _table_bytes(sf_dir, "documents"))
 
 
 SQL_Q74 = """
