@@ -110,13 +110,51 @@ def timed_section(run_best_of: "callable", attempts: int | None = None):
     raise AssertionError("unreachable")
 
 
-def _consume(res) -> int:
-    """Force full execution; return row count."""
+def _consume(res):
+    """Force full execution; return (row count, stats string or None)."""
     from ray.data import Dataset
 
     if isinstance(res, Dataset):
-        return sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow"))
-    return len(res)
+        n = sum(b.num_rows
+                for b in res.iter_batches(batch_format="pyarrow"))
+        try:
+            return n, res.stats()
+        except Exception:
+            return n, None
+    return len(res), None
+
+
+_TIME_UNIT = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "min": 60.0}
+_OP_RE = __import__("re").compile(
+    r"^Operator \d+ (.+?): .* in ([\d.]+)(us|ms|s|min)\b")
+_UDF_RE = __import__("re").compile(
+    r"^\* UDF time: .*?([\d.]+)(us|ms|s|min) total")
+
+
+def stats_summary(stats_str: str | None) -> list[dict]:
+    """Compact per-operator summary out of ``Dataset.stats()``: operator
+    name, wall seconds, UDF seconds — enough to localize a regression
+    to a stage without an A/B worktree (VERDICT r4 stretch #10). Robust
+    to format drift: unparseable sections are simply omitted."""
+    if not stats_str:
+        return []
+    ops: list[dict] = []
+    cur = None
+    for line in stats_str.splitlines():
+        line = line.strip()
+        m = _OP_RE.match(line)
+        if m:
+            cur = {"op": m.group(1)[:100],
+                   "wall_s": round(float(m.group(2))
+                                   * _TIME_UNIT[m.group(3)], 3)}
+            ops.append(cur)
+            continue
+        if cur is not None:
+            m2 = _UDF_RE.match(line)
+            if m2:
+                cur["udf_s"] = round(float(m2.group(1))
+                                     * _TIME_UNIT[m2.group(2)], 3)
+    return ops
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -168,15 +206,18 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     # ~40s and keep one bad window from polluting the whole record
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    op_stats: dict[str, list] = {}
     all_ok = True
     for name in names:
         def best_of_two(name=name):
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                rows[name] = _consume(QUERIES[name](sf_dir))
+                rows[name], st = _consume(QUERIES[name](sf_dir))
                 sec = round(time.perf_counter() - t0, 3)
-                best = sec if best is None else min(best, sec)
+                if best is None or sec < best:
+                    best = sec
+                    op_stats[name] = stats_summary(st)
             return best
 
         timings[name], ok = timed_section(best_of_two)
@@ -206,13 +247,19 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         for _ in range(2):  # best-of-2, same rationale as the query loop
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
-            build_geocode_pipeline(
+            ds_ = build_geocode_pipeline(
                 f"{d}/pages", world.gazetteer,
                 admin_polygons=world.admin_polygons,
-                facilities=world.facilities, with_knn=True
-            ).write_parquet(out_dir)
+                facilities=world.facilities, with_knn=True)
+            ds_.write_parquet(out_dir)
             sec = round(time.perf_counter() - t0, 3)
-            best = sec if best is None else min(best, sec)
+            if best is None or sec < best:
+                best = sec
+                try:
+                    op_stats[f"flagship_{big_n}pages"] = \
+                        stats_summary(ds_.stats())
+                except Exception:
+                    pass
         return best
 
     flagship_sec, ok = timed_section(flagship_best_of_two)
@@ -223,6 +270,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
           + ("" if ok else " [BAD WEATHER]"), file=sys.stderr, flush=True)
     ray.shutdown()
     return {"timings": timings, "rows": rows, "weather_ok": all_ok,
+            "op_stats": op_stats,
             "flagship_pages": big_n, "flagship_sec": flagship_sec}
 
 
@@ -377,6 +425,7 @@ def main():
                     f"max {WEATHER_ATTEMPTS} attempts; BASELINE.md)",
         "weather_ok": res["weather_ok"],
         "weather": weather_gauge(),
+        "op_stats": res["op_stats"],
     }))
 
 
