@@ -749,29 +749,39 @@ def q23_tile_aggregates(sf_dir: str) -> Dataset:
 
 
 def _media_table(n: int = 64) -> pa.Table:
-    """Deterministic REAL media fixtures: each row is a valid
-    uncompressed 8-bit BMP with a per-id gradient pattern."""
-    from batch_geocode_ray.stages.multimodal import make_bmp
+    """Deterministic REAL media fixtures: per-id gradient pattern, even
+    ids as uncompressed 8-bit BMP, odd ids as zlib-compressed PNG
+    cycling through all five scanline filter types — both decode paths
+    (and every PNG unfilter branch) run inside the driver-gated
+    query."""
+    from batch_geocode_ray.stages.multimodal import make_bmp, make_png
 
     h, w = 48, 64
     yy, xx = np.mgrid[0:h, 0:w]
-    payloads = [make_bmp(((xx * 2 + yy + 7 * i) % 256).astype(np.uint8))
-                for i in range(n)]
+    payloads, mimes = [], []
+    for i in range(n):
+        px = ((xx * 2 + yy + 7 * i) % 256).astype(np.uint8)
+        if i % 2 == 0:
+            payloads.append(make_bmp(px))
+            mimes.append("image/bmp")
+        else:
+            payloads.append(make_png(px, filter_type=i % 5))
+            mimes.append("image/png")
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "image": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["image/bmp"] * n, pa.string()),
+        "mime": pa.array(mimes, pa.string()),
         "width": pa.array([w] * n, pa.int32()),
         "height": pa.array([h] * n, pa.int32()),
     })
 
 
 def q24_image_features(sf_dir: str) -> Dataset:
-    """Image feature extraction over an actor pool with a REAL decoder
-    (uncompressed BMP parsed from the DIB layout — stdlib only; see
-    stages/multimodal.py; compressed formats still raise with the
-    needed codec named). Rows-only check: binary media are not a SQL
-    domain."""
+    """Image feature extraction over an actor pool with REAL decoders
+    (uncompressed BMP from the DIB layout; 8-bit PNG via stdlib zlib +
+    NumPy unfiltering — see stages/multimodal.py; jpeg still raises
+    with the needed codec named). Rows-only check: binary media are
+    not a SQL domain."""
     from batch_geocode_ray.stages.multimodal import ImageFeatures
 
     ds = rd.from_arrow(_media_table())

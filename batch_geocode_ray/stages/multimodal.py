@@ -5,10 +5,13 @@ by actor-pool ``map_batches`` stages sized for large payloads (small
 ``batch_size``, fractional CPU). Decode modes:
 
   * ``decode="real"`` — ACTUAL decoders for the container-friendly
-    formats: uncompressed BMP (pure struct/NumPy over the DIB layout)
-    and PCM WAV (stdlib ``wave``). Compressed formats (png/jpeg/mp3)
-    still need external codecs and raise ``NotImplementedError`` with
-    the exact library to install.
+    formats: uncompressed BMP (pure struct/NumPy over the DIB layout),
+    PNG (stdlib ``zlib`` inflate + NumPy scanline unfiltering — 8-bit
+    gray/RGB/RGBA, all five filter types, non-interlaced; see
+    :func:`decode_png`), and PCM WAV (stdlib ``wave``). The remaining
+    compressed formats (jpeg/mp3, palette/interlaced/16-bit PNG) still
+    need external codecs and raise ``NotImplementedError`` with the
+    exact library to install.
   * ``decode="fake"`` (default) — deterministic payload-hash-derived
     pseudo-decode so plumbing tests pin end-to-end behavior with any
     byte payload;
@@ -69,6 +72,165 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     else:
         gray = arr[:, :w]
     return gray[::-1] if h_signed > 0 else gray
+
+
+# ---------------------------------------------------------------------------
+# PNG (public spec: RFC 2083 / W3C PNG). Pure stdlib-zlib + NumPy —
+# enough for the 8-bit gray/RGB/RGBA images a training-data pipeline's
+# thumbnails/fixtures use; palette, interlace and 16-bit raise with the
+# codec to install. Encoder exists so the decoder is round-trip-tested
+# in-sandbox across every filter type.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (int16 math, uint8 result)."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def make_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as a non-interlaced 8-bit PNG: (h, w) ->
+    grayscale, (h, w, 3) -> RGB, (h, w, 4) -> RGBA. ``filter_type``
+    (0-4) applies that PNG scanline filter to EVERY row — used by the
+    round-trip tests to exercise each of the decoder's unfilter
+    paths."""
+    import zlib
+
+    if img.ndim == 2:
+        color, ch = 0, 1
+        img = img[:, :, None]
+    elif img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w, _ = img.shape
+    raw = img.reshape(h, w * ch).astype(np.uint8)
+    prev = np.zeros(w * ch, np.uint8)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left.astype(np.int16) + prev) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG to (h, w) uint8
+    grayscale (color channels averaged, alpha dropped — the same
+    convention as :func:`decode_bmp`). Scanline unfiltering is NumPy
+    per row: None/Up/Sub fully vectorized (Sub is a per-lane cumsum);
+    Average/Paeth walk pixels within the row (their predictor needs the
+    just-reconstructed left neighbor) but stay vectorized across
+    channels. Palette (type 3), interlaced, and 16-bit PNGs raise
+    ``NotImplementedError`` naming the codec to install."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}: only 8-bit supported (use Pillow)")
+    if color == 3:
+        raise NotImplementedError(
+            "palette PNG: indexed color needs Pillow")
+    if color not in _PNG_CHANNELS or comp != 0 or filt_m != 0:
+        raise NotImplementedError(f"PNG color={color} comp={comp}: use Pillow")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG: use Pillow")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        f = int(ftypes[y])
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            # recon[x] = cur[x] + recon[x-ch]: per-lane prefix sum
+            rec = cur.reshape(-1, ch).cumsum(axis=0).reshape(-1)
+        elif f == 2:
+            rec = cur + prev
+        elif f in (3, 4):
+            rec = np.empty(stride, np.int64)
+            left = np.zeros(ch, np.int64)
+            for x in range(0, stride, ch):
+                up = prev[x:x + ch]
+                ul = prev[x - ch:x] if x else np.zeros(ch, np.int64)
+                pred = ((left + up) // 2 if f == 3 else
+                        _paeth(left.astype(np.uint8), up.astype(np.uint8),
+                               ul.astype(np.uint8)).astype(np.int64))
+                left = (cur[x:x + ch] + pred) & 0xFF
+                rec[x:x + ch] = left
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        prev = rec & 0xFF
+        out[y] = prev.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if color == 0:
+        return px[:, :, 0]
+    if color == 4:                      # gray + alpha: drop alpha
+        return px[:, :, 0]
+    return px[:, :, :3].mean(axis=2).astype(np.uint8)
 
 
 def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -148,9 +310,11 @@ class ImageFeatures:
         if self.decode == "real":
             if payload[:2] == b"BM":
                 return decode_bmp(payload)
+            if payload[:8] == _PNG_SIG:
+                return decode_png(payload)
             raise NotImplementedError(
-                "decode='real' supports uncompressed BMP only in this "
-                "container; png/jpeg need Pillow")
+                "decode='real' supports uncompressed BMP and 8-bit "
+                "gray/RGB/RGBA PNG in this container; jpeg needs Pillow")
         return _fake_pixels(payload, min(h, 64), min(w, 64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

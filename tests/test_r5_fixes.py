@@ -386,3 +386,105 @@ def test_pip_tree_matches_flat_scan_small():
     assert np.array_equal(f_ids, d_ids)
     assert np.array_equal(f_lv, d_lv)
     assert f_cc == d_cc
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + numpy): round trip across every filter type
+# ---------------------------------------------------------------------------
+
+def _test_images():
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 11, 4), dtype=np.uint8)
+    # gradient images exercise the predictive filters non-trivially
+    grad = (np.arange(16)[:, None] * 7 + np.arange(24)[None, :] * 3) \
+        .astype(np.uint8)
+    return {"gray": gray, "rgb": rgb, "rgba": rgba, "grad": grad}
+
+
+def test_png_roundtrip_all_filters():
+    from batch_geocode_ray.stages.multimodal import decode_png, make_png
+
+    for name, img in _test_images().items():
+        for f in range(5):
+            payload = make_png(img, filter_type=f)
+            got = decode_png(payload)
+            if img.ndim == 2:
+                assert np.array_equal(got, img), (name, f)
+            elif img.shape[2] == 3:
+                assert np.array_equal(
+                    got, img.mean(axis=2).astype(np.uint8)), (name, f)
+            else:  # RGBA -> alpha dropped, channels averaged
+                assert np.array_equal(
+                    got, img[..., :3].mean(axis=2).astype(np.uint8)), \
+                    (name, f)
+
+
+def test_png_known_bytes_pin():
+    """Chunk layout pinned against a literal: a 2x2 gray image with
+    filter 0 must produce exactly these bytes (signature, IHDR, zlib
+    level-6 IDAT, IEND with CRCs) — and decode back."""
+    from batch_geocode_ray.stages.multimodal import decode_png, make_png
+    import struct
+    import zlib
+    import binascii
+
+    img = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    payload = make_png(img, filter_type=0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat_data = zlib.compress(b"\x00\x00\x80\x00\xff\x40")
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF))
+
+    want = (sig + chunk(b"IHDR", ihdr_data) + chunk(b"IDAT", idat_data)
+            + chunk(b"IEND", b""))
+    assert payload == want
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_unsupported_raise_named():
+    from batch_geocode_ray.stages.multimodal import decode_png, make_png
+    import struct
+
+    img = np.zeros((2, 2), np.uint8)
+    good = make_png(img)
+    # 16-bit depth
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16  # IHDR depth byte
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(bad))
+    # palette color type
+    bad = bytearray(good)
+    bad[8 + 8 + 9] = 3
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" * 4)
+
+
+def test_image_features_real_decodes_png():
+    from batch_geocode_ray.stages.multimodal import ImageFeatures, make_png
+
+    img = (np.arange(64 * 48).reshape(64, 48) % 256).astype(np.uint8)
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "image": pa.array([make_png(img, filter_type=4)], pa.binary()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "width": pa.array([48], pa.int32()),
+        "height": pa.array([64], pa.int32()),
+    })
+    out = ImageFeatures(decode="real")(batch)
+    assert abs(out["pixel_mean"][0].as_py() - img.mean()) < 1e-9
+    assert "image" not in out.column_names  # payload dropped
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        ImageFeatures(decode="real")(batch.set_column(
+            1, "image", pa.array([b"\xff\xd8\xff\xe0JFIF"], pa.binary())))
