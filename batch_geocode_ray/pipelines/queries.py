@@ -654,8 +654,11 @@ def q18_minhash_neardup(sf_dir: str) -> Dataset:
     makes the LSH path fully SQL-oracle-gated (same oracle as q15, a
     different physical plan — like q26 vs q03)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # signature stream ~1 KB/doc vs ~0.5-1 KB/doc of compressed input
     out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8,
-                            verify="trigram")
+                            verify="trigram",
+                            size_hint_bytes=_table_bytes(sf_dir,
+                                                         "documents"))
     return _sort_single(out, ["d1", "d2"])
 
 

@@ -122,7 +122,8 @@ def join_partitions(cap: int = 64) -> int:
 def _bucket_lookup_join(requests: Dataset, req_key: str,
                         source: Dataset, source_key: str,
                         payload: dict[str, str],
-                        missing: str = "error") -> Dataset:
+                        missing: str = "error",
+                        size_hint_bytes: int | None = None) -> Dataset:
     """Attach ``payload`` columns (``{source_col: out_col}``) from
     ``source`` onto every ``requests`` row whose ``req_key`` equals the
     source row's ``source_key`` — an equi-join expressed as the repo's
@@ -217,7 +218,12 @@ def _bucket_lookup_join(requests: Dataset, req_key: str,
             out[oc] = g2[oc].take(idx)
         return pa.table(out).select(all_cols)
 
-    return _bucketed_groups(rows, bucket, attach)
+    # size_hint_bytes: the exchange is O(source + requests) — when the
+    # source side is corpus-sized (e.g. verify joins attaching document
+    # text), pass the caller's hint so the union streams instead of
+    # materializing for the plan probe
+    return _bucketed_groups(rows, bucket, attach,
+                            size_hint_bytes=size_hint_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -722,7 +728,8 @@ def lsh_banding_for_threshold(threshold: float, num_perm: int = 128,
 def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                       num_perm: int = 128, bands: int | None = None,
                       k: int = 3, threshold: float = 0.8,
-                      verify: str = "signature") -> Dataset:
+                      verify: str = "signature",
+                      size_hint_bytes: int | None = None) -> Dataset:
     """Near-dup pairs via banded MinHash LSH.
 
     signatures -> per-band bucket keys -> groupby(bucket) -> candidate
@@ -741,19 +748,36 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
         so the surviving pairs equal the exact similarity join's output
         whenever banding recall holds. Output (d1, d2, jaccard) —
         SQL-oracle-comparable against the exact join.
+
+    ``size_hint_bytes`` (~1 KB x rows signature width, + text width
+    for trigram mode): when it clears the collapse threshold the
+    signature table is NEVER materialized — banding consumes the
+    signature stream once, trigram-verify texts come from a second
+    pruned read of ``ds`` (text then never rides the signature
+    exchange at all), and signature-verify re-derives signatures for
+    the candidate lookup (recompute-over-pin: at 10^9 docs the
+    signature table is ~1 TB of object store the plan doesn't need to
+    hold). Without a hint the probe materializes and measures —
+    right at test scale, where re-reading beats nothing.
     """
     if bands is None:
         bands, _ = lsh_banding_for_threshold(threshold, num_perm)
     rows_per_band = num_perm // bands
     with_text = verify == "trigram"
+    streaming = (size_hint_bytes is not None
+                 and size_hint_bytes >= SMALL_COLLAPSE_BYTES)
     from batch_geocode_ray.stages.stateful import stateful_map_batches
 
-    sigs = stateful_map_batches(
+    sig_stream = stateful_map_batches(
         ds, MinHashSignatures,
         {"text_col": text_col, "id_col": id_col,
-         "num_perm": num_perm, "k": k, "include_text": with_text},
-        batch_format="pyarrow").materialize()
-    # materialized: consumed twice (banding + verification join)
+         "num_perm": num_perm, "k": k,
+         # streaming sources verify texts from ds, so the signature
+         # exchange never carries the corpus text
+         "include_text": with_text and not streaming},
+        batch_format="pyarrow")
+    sigs, small, probed_bytes = _probe_small(
+        sig_stream, size_hint_bytes=size_hint_bytes)
     est_name = "jaccard" if with_text else "est_jaccard"
 
     def _empty() -> pa.Table:
@@ -761,7 +785,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                          "d2": pa.array([], pa.int64()),
                          est_name: pa.array([], pa.float64())})
 
-    if (sigs.size_bytes() or 0) < SMALL_COLLAPSE_BYTES:
+    if small:
         def lsh_one(b: pa.Table) -> pa.Table:
             n = b.num_rows
             sig = np.asarray(
@@ -839,7 +863,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
 
     # exchange rows = bands x docs; sigs bytes upper-bound the per-doc
     # row width, so this over- rather than under-buckets
-    _nb_sig = np.uint64(adaptive_bucket_count(sigs.size_bytes() or 0))
+    _nb_sig = np.uint64(adaptive_bucket_count(probed_bytes))
     buckets = sigs.map_batches(band_keys, batch_format="pyarrow")
 
     def emit_pairs_bucket(group: pa.Table) -> pa.Table:
@@ -873,14 +897,20 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
         # bucket-exchange lookup join (Ray's hash join crashes on the
         # low-cardinality candidate side — see _bucket_lookup_join),
         # recompute the true k-gram Jaccard per pair — exact output
-        # semantics.
-        texts = sigs.map_batches(
+        # semantics. Streaming plan re-reads ds (pruned) for texts;
+        # the probed plan reuses the already-materialized sigs table.
+        text_src = (ds.select_columns([id_col, text_col])
+                    if streaming else sigs)
+        texts = text_src.map_batches(
             lambda b: pa.table({id_col: b[id_col], "_t": b[text_col]}),
             batch_format="pyarrow")
+        join_hint = size_hint_bytes if streaming else None
         joined = _bucket_lookup_join(cand, "d1", texts, id_col,
-                                     {"_t": "_t1"})
+                                     {"_t": "_t1"},
+                                     size_hint_bytes=join_hint)
         joined = _bucket_lookup_join(joined, "d2", texts, id_col,
-                                     {"_t": "_t2"})
+                                     {"_t": "_t2"},
+                                     size_hint_bytes=join_hint)
 
         def verify_tri(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
@@ -922,10 +952,13 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
 
     sig_bin = sigs.map_batches(lambda b: sig_to_bin(b, "_sig", id_col),
                                batch_format="pyarrow")
+    join_hint = size_hint_bytes if streaming else None
     joined = _bucket_lookup_join(cand, "d1", sig_bin, id_col,
-                                 {"_sig": "_sig1"})
+                                 {"_sig": "_sig1"},
+                                 size_hint_bytes=join_hint)
     joined = _bucket_lookup_join(joined, "d2", sig_bin, id_col,
-                                 {"_sig": "_sig2"})
+                                 {"_sig": "_sig2"},
+                                 size_hint_bytes=join_hint)
 
     def verify(b: pa.Table) -> pa.Table:
         n = b.num_rows

@@ -488,3 +488,36 @@ def test_image_features_real_decodes_png():
     with pytest.raises(NotImplementedError, match="jpeg"):
         ImageFeatures(decode="real")(batch.set_column(
             1, "image", pa.array([b"\xff\xd8\xff\xe0JFIF"], pa.binary())))
+
+
+def test_minhash_hint_streams_and_matches(monkeypatch):
+    """With a size hint the signature table is never materialized (the
+    probe AND the verify-text source are stream-only) and both verify
+    modes return exactly the probed plan's pairs."""
+    from ray.data import Dataset
+
+    docs = _docs_ds()
+
+    def run(verify, hint):
+        out = minhash_lsh_pairs(docs, "text", "doc_id", k=3,
+                                threshold=0.8, verify=verify,
+                                size_hint_bytes=hint)
+        return sorted((r["d1"], r["d2"]) for r in out.take_all())
+
+    want_tri = run("trigram", None)
+    want_sig = run("signature", None)
+    assert want_tri  # planted dups exist in _docs_ds
+
+    real = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    monkeypatch.setattr(Dataset, "materialize", forbidden)
+    try:
+        got_tri = run("trigram", 1 << 40)
+        got_sig = run("signature", 1 << 40)
+    finally:
+        monkeypatch.setattr(Dataset, "materialize", real)
+    assert got_tri == want_tri
+    assert got_sig == want_sig
