@@ -174,7 +174,8 @@ def broadcast_semi_anti(ds: Dataset, small_keys, key: str,
 
 def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
                    right_key: str | None = None, anti: bool = False,
-                   num_partitions: int | None = None) -> Dataset:
+                   num_partitions: int | None = None,
+                   size_hint_bytes: int | None = None) -> Dataset:
     """Distributed semi (keep matching) / anti (keep non-matching) join
     of ``ds`` against a KEY DATASET — the scale-safe form of
     :func:`broadcast_semi_anti` for keep-sets that are themselves
@@ -194,11 +195,22 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
     are hashed to stable int64 on both sides, so membership is
     hash-equality (~2^-64 per-pair false match) on EITHER plan; any
     other type raises TypeError regardless of input size.
+
+    ``size_hint_bytes`` (~8-16 B x keep-set rows): at/above the
+    collapse threshold the key projection is NEVER materialized — the
+    exchange plan is chosen directly, the hint flows into the lookup
+    join's bucket sizing, and a 10^12-row survivor set streams
+    straight through. Without a hint the probe materializes the
+    (narrow) key projection and measures, as before.
     """
     from batch_geocode_ray.stages import dedup as _dd  # single knob
 
     right_key = right_key or key
-    keys_m = keys_ds.select_columns([right_key]).materialize()
+    streaming = (size_hint_bytes is not None
+                 and size_hint_bytes >= _dd.SMALL_COLLAPSE_BYTES)
+    keys_m = keys_ds.select_columns([right_key])
+    if not streaming:
+        keys_m = keys_m.materialize()
     # validate the key type UP FRONT, before any plan choice — otherwise
     # the same call would pass on a small fixture (broadcast path) and
     # fail only at scale when the probe picks the exchange plan
@@ -225,14 +237,15 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
                          pa.int64())),
             batch_format="pyarrow")
         out = semi_anti_join(with_h, hashed_keys, "__sa_hkey", anti=anti,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             size_hint_bytes=size_hint_bytes)
         return out.map_batches(lambda b: b.drop_columns(["__sa_hkey"]),
                                batch_format="pyarrow")
     if not pa.types.is_integer(key_type):
         raise TypeError(
             "semi_anti_join requires integer or string keys (got "
             f"{key_type} for {right_key!r})")
-    if (keys_m.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES:
+    if not streaming and (keys_m.size_bytes() or 0) < _dd.SMALL_COLLAPSE_BYTES:
         tbl = pa.concat_tables(ray.get(r) for r in keys_m.to_arrow_refs())
         return broadcast_semi_anti(ds, tbl[right_key].combine_chunks(),
                                    key, anti=anti)
@@ -243,7 +256,9 @@ def semi_anti_join(ds: Dataset, keys_ds: Dataset, key: str,
         }), batch_format="pyarrow")
     marked = _dd._bucket_lookup_join(ds, key, flagged, right_key,
                                      {"__sa_flag": "__sa_flag"},
-                                     missing="null")
+                                     missing="null",
+                                     size_hint_bytes=size_hint_bytes
+                                     if streaming else None)
 
     def keep(b: pa.Table) -> pa.Table:
         found = pc.is_valid(b["__sa_flag"])

@@ -521,3 +521,41 @@ def test_minhash_hint_streams_and_matches(monkeypatch):
         monkeypatch.setattr(Dataset, "materialize", real)
     assert got_tri == want_tri
     assert got_sig == want_sig
+
+
+def test_semi_anti_join_hint_streams(monkeypatch):
+    """Hinted semi/anti join never materializes (key projection OR the
+    lookup-join exchange) and matches the probed plans, for both int
+    and string keys."""
+    from ray.data import Dataset
+
+    big_i = rd.from_arrow(pa.table({
+        "k": pa.array([i % 11 for i in range(200)], pa.int64()),
+        "v": pa.array(range(200), pa.int64()),
+    })).repartition(4)
+    keys_i = rd.from_arrow(pa.table({
+        "k": pa.array([1, 4, 7, 99], pa.int64())}))
+    big_s, keys_s = _str_tables()
+
+    def run(hint):
+        a = sorted(r["v"] for r in semi_anti_join(
+            big_i, keys_i, "k", size_hint_bytes=hint).take_all())
+        b = sorted(r["v"] for r in semi_anti_join(
+            big_i, keys_i, "k", anti=True, size_hint_bytes=hint).take_all())
+        c = sorted(r["x"] for r in semi_anti_join(
+            big_s, keys_s, "u", size_hint_bytes=hint).take_all())
+        return a, b, c
+
+    want = run(None)
+    real = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    monkeypatch.setattr(Dataset, "materialize", forbidden)
+    try:
+        got = run(1 << 40)
+    finally:
+        monkeypatch.setattr(Dataset, "materialize", real)
+    assert got == want
+    assert want[0]  # semi join non-empty
