@@ -1084,14 +1084,21 @@ def q34_corpus_curation(sf_dir: str) -> Dataset:
 
     # gate 1: exact-dedup survivors — the kept-id set STAYS a Dataset
     # (size-probed semi join: broadcast when small, bucket-exchange at
-    # scale; never an O(N) driver collect)
-    survivors = exact_dedup(gated, "text", "doc_id")
-    step1 = semi_anti_join(slim, survivors, "doc_id")
+    # scale; never an O(N) driver collect). Survivor ids are O(docs),
+    # so the hint (~16 B/row of a ~0.5-1 KB/row input) keeps the whole
+    # dedup+membership path probe-free at corpus scale.
+    id_hint = _table_bytes(sf_dir, "documents") // 32
+    survivors = exact_dedup(gated, "text", "doc_id",
+                            size_hint_bytes=id_hint)
+    step1 = semi_anti_join(slim, survivors, "doc_id",
+                           size_hint_bytes=id_hint)
 
     # gate 2: drop the larger-id side of near-dup pairs (anti join
-    # against the pairs Dataset's d2 column, same adaptive plan)
-    pairs = ngram_jaccard_pairs(gated, "text", "doc_id",
-                                k=3, threshold=0.8)
+    # against the pairs Dataset's d2 column, same adaptive plan; no
+    # hint — the pair set is output-dependent, usually small)
+    pairs = ngram_jaccard_pairs(
+        gated, "text", "doc_id", k=3, threshold=0.8,
+        size_hint_bytes=2 * _table_bytes(sf_dir, "documents"))
     cleaned = semi_anti_join(step1, pairs, "doc_id", right_key="d2",
                              anti=True)
     # survivors are O(docs): size-probed final sort (distributed at scale)
