@@ -2178,7 +2178,11 @@ def q56_dedup_clusters(sf_dir: str) -> Dataset:
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        size_hint_bytes=2 * _table_bytes(sf_dir, "documents"))
+    # edge count is output-dependent (no hint — its probe is O(pairs),
+    # bounded by the dedup rate, not the corpus)
     labels = connected_components(pairs, "d1", "d2")
     out = label_all_nodes(_read(sf_dir, "documents", ["doc_id"]),
                           "doc_id", labels)
