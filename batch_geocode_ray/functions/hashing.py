@@ -93,6 +93,28 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(np.uint64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()))
 
 
+def simhash64_batch(token_hashes: np.ndarray, parents: np.ndarray,
+                    n_docs: int) -> np.ndarray:
+    """SimHash of MANY documents in one shot — the row-loop-free form
+    of :func:`simhash64` (unweighted): ``token_hashes`` is the flat
+    uint64 token-hash array of the whole batch, ``parents[i]`` the
+    document row of token ``i``. One ``unpackbits`` over the hash
+    bytes + one ``np.add.at`` scatter of ±1 votes; docs with no tokens
+    hash to 0, matching the per-row kernel exactly (equivalence
+    pytest-pinned)."""
+    votes = np.zeros((n_docs, 64), np.int64)
+    h = np.ascontiguousarray(np.asarray(token_hashes, dtype=np.uint64))
+    if len(h):
+        # (tokens, 64) uint8 bit matrix, bit k of the uint64 in col k
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")
+        np.add.at(votes, np.asarray(parents, dtype=np.int64),
+                  bits.astype(np.int8) * 2 - 1)
+    packed = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                         bitorder="little")
+    return np.ascontiguousarray(packed).view(np.uint64).reshape(n_docs)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 arrays (broadcasts)."""
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))

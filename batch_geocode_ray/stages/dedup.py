@@ -37,7 +37,7 @@ from batch_geocode_ray.functions.hashing import (
     minhash_permutation_params,
     minhash_signature,
     shingle_hashes,
-    simhash64,
+    simhash64_batch,
     splitmix64,
     stable_hash64_array,
 )
@@ -1005,13 +1005,7 @@ def simhash_pairs(ds: Dataset, text_col: str, id_col: str,
         parents = np.asarray(toks.value_parent_indices())
         nonempty = np.asarray(pc.utf8_length(flat)) > 0
         hashes = stable_hash64_array(flat.filter(pa.array(nonempty)))
-        parents = parents[nonempty]
-        counts = np.zeros(b.num_rows, dtype=np.int64)
-        np.add.at(counts, parents, 1)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        out = np.empty(b.num_rows, dtype=np.uint64)
-        for i in range(b.num_rows):
-            out[i] = simhash64(hashes[offsets[i]:offsets[i + 1]])
+        out = simhash64_batch(hashes, parents[nonempty], b.num_rows)
         return pa.table({
             id_col: b[id_col],
             "simhash": pa.array(out.astype(np.int64), pa.int64()),

@@ -559,3 +559,20 @@ def test_semi_anti_join_hint_streams(monkeypatch):
         monkeypatch.setattr(Dataset, "materialize", real)
     assert got == want
     assert want[0]  # semi join non-empty
+
+
+def test_simhash64_batch_equals_per_row():
+    from batch_geocode_ray.functions.hashing import (
+        simhash64,
+        simhash64_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    hashes = rng.integers(0, 2 ** 63, 5000, dtype=np.int64) \
+        .astype(np.uint64)
+    parents = np.sort(rng.integers(0, 40, 5000))
+    got = simhash64_batch(hashes, parents, 42)  # rows 40, 41 empty
+    for d in range(42):
+        want = simhash64(hashes[parents == d])
+        assert int(got[d]) == want, d
+    assert int(got[40]) == 0 and int(got[41]) == 0
