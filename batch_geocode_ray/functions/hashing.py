@@ -80,6 +80,40 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def shingle_hashes_batch(token_hashes: np.ndarray, parents: np.ndarray,
+                         k: int) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT rolling k-gram hashes of MANY documents in one shot —
+    the row-loop-free form of :func:`shingle_hashes` over a batch's
+    flat token-hash array (``parents[i]`` = document row of token i,
+    nondecreasing). One Horner pass of k vector ops over the whole
+    array; windows crossing a document boundary are masked out.
+    Returns ``(gram_hash, parent)`` sorted by (parent, hash) with
+    per-document duplicates removed — value-identical to calling
+    ``shingle_hashes`` per document for every document with >= k
+    tokens; documents with fewer emit nothing (callers drop them)."""
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    parents = np.asarray(parents, dtype=np.int64)
+    n = len(h)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    if n < k:
+        return empty
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * B + h[j:j + m]
+    valid = parents[:m] == parents[k - 1:]
+    acc, par = acc[valid], parents[:m][valid]
+    if len(acc) == 0:
+        return empty
+    order = np.lexsort((acc, par))
+    acc, par = acc[order], par[order]
+    keep = np.ones(len(acc), dtype=bool)
+    keep[1:] = (acc[1:] != acc[:-1]) | (par[1:] != par[:-1])
+    return acc[keep], par[keep]
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """64-bit SimHash of one document: per-bit weighted majority vote of
     token hashes.

@@ -37,6 +37,7 @@ from batch_geocode_ray.functions.hashing import (
     minhash_permutation_params,
     minhash_signature,
     shingle_hashes,
+    shingle_hashes_batch,
     simhash64_batch,
     splitmix64,
     stable_hash64_array,
@@ -376,43 +377,31 @@ def _doc_grams(b: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
     """Explode each doc into its DISTINCT k-token grams, as 64-bit
     rolling hashes (distinct hashes == distinct grams up to a ~1e-7
     collision chance over millions of grams — the shuffle then moves
-    8-byte keys instead of strings, and gram construction is NumPy over
-    token-hash arrays instead of Python string joins). Docs with fewer
-    than k tokens emit nothing (SQL oracle: ``len(t) >= k``)."""
+    8-byte keys instead of strings, and gram construction is ONE
+    batch-wide Horner pass + lexsort instead of per-row Python). Docs
+    with fewer than k tokens emit nothing (SQL oracle: ``len(t) >=
+    k``). The per-doc distinct-gram count rides every gram row: the
+    pair stage then knows |A| and |B| WITHOUT a sizes join (8 B/row of
+    exchange width buys removing two all-to-all joins — and Ray 2.49's
+    hash join crashes outright on an empty/low-cardinality side, which
+    a zero-pair corpus produces)."""
     toks = tokens_column(b[text_col])
     flat = toks.flatten()
     parents = np.asarray(toks.value_parent_indices())
     nonempty = np.asarray(pc.utf8_length(flat)) > 0
     hashes = stable_hash64_array(flat.filter(pa.array(nonempty)))
-    parents = parents[nonempty]
-    counts = np.zeros(b.num_rows, dtype=np.int64)
-    np.add.at(counts, parents, 1)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    ids = b[id_col].to_numpy(zero_copy_only=False)
-    out_ids: list[np.ndarray] = []
-    out_grams: list[np.ndarray] = []
-    out_n: list[np.ndarray] = []
-    for i in range(b.num_rows):
-        h = hashes[offsets[i]:offsets[i + 1]]
-        if len(h) < k:
-            continue
-        sh = shingle_hashes(h, k)  # unique rolling k-gram hashes
-        out_ids.append(np.full(len(sh), int(ids[i]), dtype=np.int64))
-        out_grams.append(sh.astype(np.int64))
-        # per-doc distinct-gram count rides every gram row: the pair
-        # stage then knows |A| and |B| WITHOUT a sizes join (8 B/row of
-        # exchange width buys removing two all-to-all joins — and Ray
-        # 2.49's hash join crashes outright on an empty/low-cardinality
-        # side, which a zero-pair corpus produces)
-        out_n.append(np.full(len(sh), len(sh), dtype=np.int64))
-    if not out_ids:
+    gram, par = shingle_hashes_batch(hashes, parents[nonempty], k)
+    if len(gram) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "gram": pa.array([], pa.int64()),
                          "n": pa.array([], pa.int64())})
+    ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    cnt = np.bincount(par, minlength=b.num_rows)
     return pa.table({
-        id_col: pa.array(np.concatenate(out_ids), pa.int64()),
-        "gram": pa.array(np.concatenate(out_grams), pa.int64()),
-        "n": pa.array(np.concatenate(out_n), pa.int64()),
+        id_col: pa.array(ids[par], pa.int64()),
+        "gram": pa.array(gram.astype(np.int64), pa.int64()),
+        "n": pa.array(cnt[par], pa.int64()),
     })
 
 

@@ -576,3 +576,31 @@ def test_simhash64_batch_equals_per_row():
         want = simhash64(hashes[parents == d])
         assert int(got[d]) == want, d
     assert int(got[40]) == 0 and int(got[41]) == 0
+
+
+def test_shingle_hashes_batch_equals_per_row():
+    from batch_geocode_ray.functions.hashing import (
+        shingle_hashes,
+        shingle_hashes_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    # ragged docs incl. len < k (emit nothing) and len == k
+    lens = [0, 1, 2, 3, 4, 17, 2, 3, 50]
+    hashes, parents = [], []
+    for d, ln in enumerate(lens):
+        hashes.append(rng.integers(0, 2 ** 63, ln).astype(np.uint64))
+        parents.append(np.full(ln, d, np.int64))
+    flat = np.concatenate(hashes)
+    par = np.concatenate(parents)
+    g, gp = shingle_hashes_batch(flat, par, 3)
+    want = {d: sorted(shingle_hashes(hashes[d], 3).tolist())
+            for d in range(len(lens)) if lens[d] >= 3}
+    got: dict[int, list] = {}
+    for h, d in zip(g.tolist(), gp.tolist()):
+        got.setdefault(d, []).append(h)
+    assert got == want
+    # empty input
+    e_g, e_p = shingle_hashes_batch(np.empty(0, np.uint64),
+                                    np.empty(0, np.int64), 3)
+    assert len(e_g) == 0 and len(e_p) == 0
