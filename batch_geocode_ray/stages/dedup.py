@@ -35,7 +35,6 @@ from ray.data.aggregate import Count, Min
 from batch_geocode_ray.functions.hashing import (
     hamming64,
     minhash_permutation_params,
-    minhash_signature,
     shingle_hashes,
     shingle_hashes_batch,
     simhash64_batch,
@@ -640,19 +639,52 @@ class MinHashSignatures:
         self.a, self.b = minhash_permutation_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from batch_geocode_ray.functions.hashing import _MERSENNE61
+
         toks = tokens_column(batch[self.text_col])
         flat = toks.flatten()
         parents = np.asarray(toks.value_parent_indices())
         nonempty = np.asarray(pc.utf8_length(flat)) > 0
         hashes = stable_hash64_array(flat.filter(pa.array(nonempty)))
         parents = parents[nonempty]
-        counts = np.zeros(batch.num_rows, dtype=np.int64)
-        np.add.at(counts, parents, 1)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        sigs = np.empty((batch.num_rows, len(self.a)), dtype=np.uint64)
-        for i in range(batch.num_rows):
-            sh = shingle_hashes(hashes[offsets[i]:offsets[i + 1]], self.k)
-            sigs[i] = minhash_signature(sh, self.a, self.b)
+        n_rows = batch.num_rows
+        # distinct k-grams of every doc in ONE batch-wide Horner pass
+        gram, par = shingle_hashes_batch(hashes, parents, self.k)
+        # parity with per-row shingle_hashes: docs with 0 < tokens < k
+        # hash their full token run once (one vectorized Horner per
+        # possible short length — k is small)
+        counts = np.bincount(parents, minlength=n_rows)
+        short = (counts > 0) & (counts < self.k)
+        if short.any():
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            B = np.uint64(1099511628211)
+            extra_g, extra_p = [], []
+            with np.errstate(over="ignore"):
+                for L in range(1, self.k):
+                    rows = np.nonzero(short & (counts == L))[0]
+                    if not len(rows):
+                        continue
+                    acc = np.zeros(len(rows), dtype=np.uint64)
+                    for j in range(L):
+                        acc = acc * B + hashes[offsets[rows] + j]
+                    extra_g.append(acc)
+                    extra_p.append(rows)
+            gram = np.concatenate([gram] + extra_g)
+            par = np.concatenate([par] + extra_p)
+            order = np.argsort(par, kind="stable")
+            gram, par = gram[order], par[order]
+        # per-(doc, permutation) min over the doc's gram segment —
+        # 128 vector passes over the flat gram array instead of one
+        # Python iteration per document; empty docs sign all-max
+        # (identical elementwise ops to minhash_signature)
+        sigs = np.full((n_rows, len(self.a)), _MERSENNE61, dtype=np.uint64)
+        if len(gram):
+            present, first_idx = np.unique(par, return_index=True)
+            x = (gram >> np.uint64(3)) & _MERSENNE61
+            with np.errstate(over="ignore"):
+                for p in range(len(self.a)):
+                    v = (self.a[p] * x + self.b[p]) % _MERSENNE61
+                    sigs[present, p] = np.minimum.reduceat(v, first_idx)
         cols = {
             self.id_col: batch[self.id_col],
             "signature": pa.FixedSizeListArray.from_arrays(

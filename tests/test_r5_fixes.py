@@ -604,3 +604,43 @@ def test_shingle_hashes_batch_equals_per_row():
     e_g, e_p = shingle_hashes_batch(np.empty(0, np.uint64),
                                     np.empty(0, np.int64), 3)
     assert len(e_g) == 0 and len(e_p) == 0
+
+
+def test_minhash_signatures_batch_equals_per_row():
+    """The vectorized MinHashSignatures must produce BIT-identical
+    signatures to the per-row reference (shingle_hashes +
+    minhash_signature per document), including empty and <k-token
+    docs."""
+    from batch_geocode_ray.functions.hashing import (
+        minhash_permutation_params,
+        minhash_signature,
+        shingle_hashes,
+        stable_hash64_array,
+    )
+    from batch_geocode_ray.stages.dedup import MinHashSignatures
+    from batch_geocode_ray.functions.text import tokens_column
+    import pyarrow.compute as pc_
+
+    texts = ["", "one", "two tokens", "exactly three tokens",
+             "a longer document with many more tokens inside it",
+             "one", "  ", "dup dup dup dup"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = MinHashSignatures("text", "doc_id", num_perm=32, k=3)(batch)
+    sig = np.asarray(got["signature"].combine_chunks().flatten()
+                     .to_numpy(zero_copy_only=False)) \
+        .reshape(len(texts), 32).astype(np.uint64)
+
+    a, b = minhash_permutation_params(32, seed=7)
+    toks = tokens_column(batch["text"])
+    flat = toks.flatten()
+    parents = np.asarray(toks.value_parent_indices())
+    ne = np.asarray(pc_.utf8_length(flat)) > 0
+    hashes = stable_hash64_array(flat.filter(pa.array(ne)))
+    parents = parents[ne]
+    for d in range(len(texts)):
+        want = minhash_signature(
+            shingle_hashes(hashes[parents == d], 3), a, b)
+        assert np.array_equal(sig[d], want), d
