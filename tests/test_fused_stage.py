@@ -81,3 +81,23 @@ def test_read_num_blocks_sizing(tmp_path):
     n_big = _read_num_blocks([str(big)] * 100)
     assert n_big == max(3 * cpus, big_total // (32 << 20))
     assert _read_num_blocks(str(tmp_path / "missing")) is None
+
+
+def test_bench_world_flagship_plan_unchanged_by_r5():
+    """Scaling-record inheritance witness (BASELINE.md round-5): the
+    two round-5 flagship-path changes are provably inactive at the
+    bench fixture's configuration — (a) the bench world's polygon set
+    is small enough that the PIP R-tree builds NO internal levels, so
+    assign() runs the identical pre-r5 linear leaf scan; (b)
+    stateful_mode='auto' resolves to 'task', the pre-r5 default. With
+    both pinned, the measured r3 clean-window scaling record applies
+    to this build's physical plan."""
+    import batch_geocode_ray.pipelines.geocode as g
+    from batch_geocode_ray.sources.fixtures import generate_world
+    from batch_geocode_ray.stages.pip import PolygonIndex
+
+    w = generate_world()
+    idx = PolygonIndex(w.admin_polygons)
+    assert idx.inner_levels == []
+    assert g._resolve_stateful_mode(
+        "auto", w.gazetteer, w.admin_polygons, w.facilities) == "task"
