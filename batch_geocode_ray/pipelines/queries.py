@@ -3017,6 +3017,62 @@ def q75_embedding_pca(sf_dir: str) -> Dataset:
                        {"pc1": 4, "pc2": 4})
 
 
+def q76_decontaminate(sf_dir: str) -> Dataset:
+    """Train/eval n-gram decontamination (GPT-3 appendix-C class,
+    13-token grams): flag every "train" document (doc_id % 17 != 0)
+    sharing at least one 13-gram with the held-out "eval" slice
+    (doc_id % 17 == 0), with its contaminated-gram and total-gram
+    counts. The eval gram set broadcasts once (``ray.put``) and the
+    train corpus STREAMS through a vectorized membership test — zero
+    shuffles in the common (bounded-eval) case; a bucket-exchange plan
+    takes over when the eval side outgrows the broadcast threshold
+    (both plans equality-tested)."""
+    from batch_geocode_ray.stages.dedup import ngram_decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            m = (ids % 17 == 0) if keep_eval else (ids % 17 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    train = docs.map_batches(half(False), batch_format="pyarrow")
+    ev = docs.map_batches(half(True), batch_format="pyarrow")
+    out = ngram_decontaminate(
+        train, ev, "text", "doc_id", k=13,
+        size_hint_bytes=8 * _table_bytes(sf_dir, "documents"))
+    return _sort_adaptive(out, "doc_id")
+
+
+_Q76_K = 13
+_Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
+
+SQL_Q76 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), ev AS (
+  SELECT DISTINCT {_Q76_GRAM} AS g
+  FROM toks CROSS JOIN LATERAL
+       unnest(range(1, len(t) - {_Q76_K} + 2)) AS u(i)
+  WHERE doc_id % 17 = 0 AND len(t) >= {_Q76_K}
+), tr AS (
+  SELECT DISTINCT doc_id, {_Q76_GRAM} AS g
+  FROM toks CROSS JOIN LATERAL
+       unnest(range(1, len(t) - {_Q76_K} + 2)) AS u(i)
+  WHERE doc_id % 17 <> 0 AND len(t) >= {_Q76_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id
+)
+SELECT tr.doc_id, count(*) AS n_hit_grams, max(sizes.n) AS n_grams
+FROM tr JOIN ev ON tr.g = ev.g JOIN sizes ON sizes.doc_id = tr.doc_id
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3029,7 +3085,9 @@ def q75_embedding_pca(sf_dir: str) -> Dataset:
 #   Tier 2 — flagship gates + one anchor per operator family, all
 #            gated in r4; re-gated now so the core surface keeps a
 #            fresh driver row every round.
-#   Tier 3 — q51–q75: gated most recently (r4); out this round.
+#   Tier 3 — q51–q76: gated most recently (r4) or new this round (q76
+#            decontamination — selfcheck-verified, enters the gate next
+#            rotation).
 QUERIES = {
     # --- tier 1: least-recently gated (r1–r3 only) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3109,6 +3167,7 @@ QUERIES = {
     "q73_dup_substring_positions": q73_dup_substring_positions,
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
+    "q76_decontaminate": q76_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -3179,6 +3238,7 @@ ORACLE_SQL = {
     "q72_dup_substring_pairs": SQL_Q72,
     "q73_dup_substring_positions": SQL_Q73,
     "q74_dup_span_coverage": SQL_Q74,
+    "q76_decontaminate": SQL_Q76,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

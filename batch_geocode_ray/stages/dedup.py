@@ -623,6 +623,186 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# train/eval n-gram decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(train: Dataset, eval_ds: Dataset, text_col: str,
+                        id_col: str, k: int = 13,
+                        eval_size_hint_bytes: int | None = None,
+                        size_hint_bytes: int | None = None) -> Dataset:
+    """Train/eval corpus decontamination by k-token-gram overlap (the
+    GPT-3 appendix-C / PaLM class of check, k=13 tokens by convention):
+    for every ``train`` document that shares at least one k-gram with
+    ANY ``eval_ds`` document, report how many of its distinct k-grams
+    are contaminated. Output columns: ``(id_col, n_hit_grams, n_grams)``
+    — a caller drops (or span-cuts) flagged docs; ``n_hit_grams /
+    n_grams`` is the contamination ratio.
+
+    Plans (chosen by probing the EVAL gram table, never the train side
+    — the train corpus only ever streams):
+
+    * **broadcast** (the 100 TB common case — eval benchmarks are
+      O(10-100 MB) against an arbitrarily large train corpus): collect
+      the eval corpus's distinct gram hashes into ONE sorted int64
+      array, ``ray.put`` it once, and stream train batches through a
+      vectorized ``searchsorted`` membership test. ZERO shuffles; the
+      train side is one map pass, exactly like :func:`bloom_anti_join`
+      but with an exact membership set and per-doc hit counts.
+    * **distributed** (eval side too big to broadcast): one
+      coarse-bucket exchange keyed on the gram hash — eval gram rows
+      ride as carriers, train gram rows as requests; a bucket marks the
+      train rows whose gram segment contains an eval row, then a
+      per-doc sum over the (id, bucket-partial) table finalizes. The
+      per-doc gram totals ride each row (same trick as
+      :func:`_doc_grams`' ``n``), so no sizes join.
+
+    Gram identity is the 64-bit rolling hash (the exchange moves 8-byte
+    keys, not ~90-char strings). Per-pair collision odds are ~2^-64; at
+    a 10^14-distinct-gram train corpus the BIRTHDAY expectation is
+    ~10^8 colliding gram pairs — i.e. a ~1e-6 relative inflation of hit
+    counts, harmless for a flag-then-drop filter (same framing as
+    ``stages/substring.py``; add a text-verify pass like
+    ``minhash_lsh_pairs(verify=...)`` if exact counts at that scale
+    matter).
+
+    Docs with fewer than k tokens have no k-grams and are never
+    flagged (SQL parity: ``len(t) >= k``).
+    """
+    train_grams = train.map_batches(
+        lambda b: _doc_grams(b, text_col, id_col, k),
+        batch_format="pyarrow")
+    eval_grams = eval_ds.map_batches(
+        lambda b: _doc_grams(b, text_col, id_col, k),
+        batch_format="pyarrow")
+    eval_m, eval_small, eval_bytes = _probe_small(
+        eval_grams, size_hint_bytes=eval_size_hint_bytes)
+
+    def _empty() -> pa.Table:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_hit_grams": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64())})
+
+    if eval_small:
+        # ---- broadcast plan: eval grams -> one sorted array ----------
+        import ray as _ray
+
+        parts = [np.asarray(b["gram"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+                 for b in eval_m.iter_batches(batch_format="pyarrow")]
+        eval_set = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        eval_ref = _ray.put(eval_set)
+
+        def flag(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _empty()
+            ev = _ray.get(eval_ref)
+            g = np.asarray(b["gram"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            ns = np.asarray(b["n"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            pos = np.searchsorted(ev, g)
+            pos[pos == len(ev)] = 0
+            hit = (ev[pos] == g) if len(ev) else np.zeros(len(g), bool)
+            if not hit.any():
+                return _empty()
+            # _doc_grams emits a doc's grams contiguously within one
+            # batch (rows never split across batches), so per-batch
+            # per-doc counts are already final
+            hid, hcnt = np.unique(ids[hit], return_counts=True)
+            uids, uidx = np.unique(ids, return_index=True)
+            first = uidx[np.searchsorted(uids, hid)]
+            return pa.table({
+                id_col: pa.array(hid, pa.int64()),
+                "n_hit_grams": pa.array(hcnt, pa.int64()),
+                "n_grams": pa.array(ns[first], pa.int64()),
+            })
+
+        return train_grams.map_batches(flag, batch_format="pyarrow")
+
+    # ---- distributed plan: bucket exchange on the gram hash ----------
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    def as_eval(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "gram": b["gram"],
+            "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+            id_col: pa.nulls(b.num_rows, pa.int64()),
+            "n": pa.nulls(b.num_rows, pa.int64()),
+        })
+
+    def as_train(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "gram": b["gram"],
+            "__side": pa.array(np.ones(b.num_rows, np.int8)),
+            id_col: b[id_col],
+            "n": b["n"],
+        })
+
+    rows = (eval_m.map_batches(as_eval, batch_format="pyarrow")
+            .union(train_grams.map_batches(as_train,
+                                           batch_format="pyarrow")))
+
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
+        g = np.asarray(b["gram"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(g) % np.uint64(nb)).astype(np.int64)))
+
+    def hits_in_bucket(group: pa.Table) -> pa.Table:
+        g = np.asarray(group["gram"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        side = np.asarray(group["__side"].to_numpy(zero_copy_only=False),
+                          dtype=np.int8)
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ns = np.asarray(group["n"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        order = np.lexsort((side, g))  # eval rows (0) first per segment
+        g, side, ids, ns = g[order], side[order], ids[order], ns[order]
+        seg_start = np.ones(len(g), dtype=bool)
+        seg_start[1:] = g[1:] != g[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        starts = np.nonzero(seg_start)[0]
+        seg_has_eval = side[starts] == 0  # sorted: eval leads its segment
+        hit = seg_has_eval[seg_id] & (side == 1)
+        if not hit.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())})
+        hids, hns = ids[hit], ns[hit]
+        ho = np.argsort(hids, kind="stable")
+        hids, hns = hids[ho], hns[ho]
+        uid_start = np.ones(len(hids), dtype=bool)
+        uid_start[1:] = hids[1:] != hids[:-1]
+        ustarts = np.nonzero(uid_start)[0]
+        cnt = np.diff(np.concatenate([ustarts, [len(hids)]]))
+        return pa.table({
+            id_col: pa.array(hids[ustarts], pa.int64()),
+            "_part": pa.array(cnt, pa.int64()),
+            "n_grams": pa.array(hns[ustarts], pa.int64()),
+        })
+
+    # exchange size ~ eval grams + train grams (24 B/row each)
+    hint = None
+    if size_hint_bytes is not None:
+        hint = int(size_hint_bytes) + int(eval_bytes or 0)
+    partials = _bucketed_groups(rows, bucket, hits_in_bucket,
+                                size_hint_bytes=hint)
+    # a doc's grams hash into many buckets -> sum the bucket partials;
+    # grouping key is the doc id (bounded by #contaminated docs);
+    # n_grams is constant per doc, so "max" just carries it through
+    return grouped_aggregate(
+        partials, [id_col],
+        [("_part", "sum", "n_hit_grams"), ("n_grams", "max", "n_grams")],
+        merge="shuffle")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
