@@ -3047,6 +3047,49 @@ def q76_decontaminate(sf_dir: str) -> Dataset:
     return _sort_adaptive(out, "doc_id")
 
 
+def q77_cut_dup_spans(sf_dir: str) -> Dataset:
+    """The Lee-et-al span-cut dedup TRANSFORM (q72/q73/q74 measure the
+    duplication; this applies the cut): every document re-emitted with
+    characters covered by a duplicated 40-gram window removed.
+    Unflagged docs stream through the anti-join path untouched — the
+    corpus text never rides an exchange."""
+    from batch_geocode_ray.stages.substring import cut_duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = cut_duplicate_spans(
+        docs, "text", "doc_id", L=40,
+        size_hint_bytes=8 * _table_bytes(sf_dir, "documents"))
+    return _sort_adaptive(out, "doc_id")
+
+
+SQL_Q77 = """
+WITH subs AS (
+  SELECT doc_id, u.i AS i, substr(text, u.i, 40) AS s
+  FROM documents CROSS JOIN LATERAL
+       unnest(range(1, length(text) - 38)) AS u(i)
+  WHERE length(text) >= 40
+), dup AS (
+  SELECT s FROM subs GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), cover AS (
+  SELECT DISTINCT doc_id, i + d.d AS p
+  FROM subs CROSS JOIN LATERAL unnest(range(0, 40)) AS d(d)
+  WHERE s IN (SELECT s FROM dup)
+), chars AS (
+  SELECT d.doc_id, u.i AS p, substr(d.text, u.i, 1) AS ch
+  FROM documents d CROSS JOIN LATERAL
+       unnest(range(1, length(d.text) + 1)) AS u(i)
+), cut AS (
+  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS t
+  FROM chars c LEFT JOIN cover v ON v.doc_id = c.doc_id AND v.p = c.p
+  WHERE v.p IS NULL
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, coalesce(cut.t, '') AS text_cut
+FROM documents d LEFT JOIN cut ON cut.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _Q76_K = 13
 _Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
 
@@ -3085,8 +3128,8 @@ ORDER BY tr.doc_id
 #   Tier 2 — flagship gates + one anchor per operator family, all
 #            gated in r4; re-gated now so the core surface keeps a
 #            fresh driver row every round.
-#   Tier 3 — q51–q76: gated most recently (r4) or new this round (q76
-#            decontamination — selfcheck-verified, enters the gate next
+#   Tier 3 — q51–q77: gated most recently (r4) or new this round (q76/q77
+#            decontamination + span-cut — selfcheck-verified, enter the gate next
 #            rotation).
 QUERIES = {
     # --- tier 1: least-recently gated (r1–r3 only) ---
@@ -3168,6 +3211,7 @@ QUERIES = {
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
     "q76_decontaminate": q76_decontaminate,
+    "q77_cut_dup_spans": q77_cut_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -3239,6 +3283,7 @@ ORACLE_SQL = {
     "q73_dup_substring_positions": SQL_Q73,
     "q74_dup_span_coverage": SQL_Q74,
     "q76_decontaminate": SQL_Q76,
+    "q77_cut_dup_spans": SQL_Q77,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -383,3 +383,150 @@ def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
         })
 
     return _bucketed_groups(dup_pos, bucket_by_doc, coverage)
+
+
+def cut_duplicate_spans(ds: Dataset, text_col: str, id_col: str,
+                        L: int = 40,
+                        size_hint_bytes: int | None = None) -> Dataset:
+    """The span-CUT transform itself (Lee et al.'s actual dedup pass):
+    every document re-emitted with the characters covered by a
+    duplicated L-gram window REMOVED. Output: (``id_col``,
+    ``text_cut``) for ALL documents — unaffected docs pass through with
+    their full text.
+
+    Plan — the corpus text never rides an exchange:
+
+    1. duplicated (doc, pos) stream + one bucket exchange by doc folds
+       each flagged doc's positions into a packed interval blob (int64
+       [s, e) pairs, merged while touching) — O(duplicated positions);
+    2. the blobs (one narrow row per FLAGGED doc) join their text via
+       the bucket lookup join, and a map emits the cut text;
+    3. unflagged docs — the overwhelming majority of a real corpus —
+       take the :func:`semi_anti_join` anti path (membership mark
+       against the flagged-id set) and stream through untouched.
+
+    ``size_hint_bytes``: same meaning as
+    :func:`duplicate_span_coverage` (the per-position gram stream,
+    ~32 x corpus chars)."""
+    from batch_geocode_ray.stages.dedup import _bucket_lookup_join
+    from batch_geocode_ray.stages.joins import semi_anti_join
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    def emit_dup_positions(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((doc, h2, h))
+        h, h2, doc, pos = h[order], h2[order], doc[order], pos[order]
+        seg = np.ones(len(h), dtype=bool)
+        seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
+        seg_id = np.cumsum(seg) - 1
+        doc_start = seg.copy()
+        doc_start[1:] |= doc[1:] != doc[:-1]
+        n_docs = np.bincount(seg_id, weights=doc_start).astype(np.int64)
+        keep = n_docs[seg_id] >= 2
+        return pa.table({"doc": pa.array(doc[keep], pa.int64()),
+                         "pos": pa.array(pos[keep], pa.int64())})
+
+    dup_pos = _bucketed_groups(
+        _stream(ds, text_col, id_col, L, with_positions=True),
+        _bucket_by_h, emit_dup_positions,
+        size_hint_bytes=size_hint_bytes)
+
+    def bucket_by_doc(b: pa.Table, nb: int) -> pa.Table:
+        d = np.asarray(b["doc"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(d) % np.uint64(nb)).astype(np.int64)))
+
+    def spans_blob(g: pa.Table) -> pa.Table:
+        """One row per flagged doc: its merged [s, e) cut intervals as
+        an int64-pair blob (lists don't survive acero joins — CLAUDE.md
+        pack-around-the-join pattern)."""
+        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        if len(doc) == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "_spans": pa.array([], pa.binary())})
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        # drop repeated positions (same position emitted once per
+        # duplicated gram hash)
+        rep = np.zeros(len(doc), dtype=bool)
+        rep[1:] = (~first[1:]) & (pos[1:] == pos[:-1])
+        doc, pos, first = doc[~rep], pos[~rep], first[~rep]
+        # a new interval starts at a doc boundary or after a gap > L
+        new_iv = first.copy()
+        new_iv[1:] |= (pos[1:] - pos[:-1]) > L
+        iv_id = np.cumsum(new_iv) - 1
+        s = pos[new_iv]
+        e = np.zeros(len(s), dtype=np.int64)
+        np.maximum.at(e, iv_id, pos + L)
+        iv_doc = doc[new_iv]
+        docs, blobs = [], []
+        bounds = np.concatenate(
+            [np.nonzero(np.ones_like(iv_doc, dtype=bool)
+                        if len(iv_doc) == 0 else
+                        np.concatenate([[True], iv_doc[1:] != iv_doc[:-1]])
+                        )[0], [len(iv_doc)]])
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            docs.append(iv_doc[lo])
+            blobs.append(np.column_stack([s[lo:hi], e[lo:hi]])
+                         .astype(np.int64).tobytes())
+        return pa.table({"doc": pa.array(docs, pa.int64()),
+                         "_spans": pa.array(blobs, pa.binary())})
+
+    # spans is consumed TWICE (text join + anti-membership); without a
+    # pin the per-position gram stream and both exchanges would execute
+    # twice. It is one narrow row per FLAGGED doc (~24 B + 16 B per
+    # interval) — the bounded dedup-artifact class, not the corpus
+    spans = _bucketed_groups(dup_pos, bucket_by_doc,
+                             spans_blob).materialize()
+
+    texts = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "_t": b[text_col]}),
+        batch_format="pyarrow")
+    joined = _bucket_lookup_join(spans, "doc", texts, id_col,
+                                 {"_t": "_t"})
+
+    def cut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text_cut": pa.array([], pa.string())})
+        ids = b["doc"]
+        ts = b["_t"].to_pylist()
+        blobs = b["_spans"].to_pylist()
+        out = []
+        for t, blob in zip(ts, blobs):
+            iv = np.frombuffer(blob, dtype=np.int64).reshape(-1, 2)
+            tb = t.encode()
+            kept, prev = [], 0
+            for s_, e_ in iv:
+                kept.append(tb[prev:s_])
+                prev = min(max(prev, e_), len(tb))
+            kept.append(tb[prev:])
+            out.append(b"".join(kept).decode())
+        return pa.table({id_col: ids, "text_cut": pa.array(out,
+                                                           pa.string())})
+
+    cut_docs = joined.map_batches(cut, batch_format="pyarrow")
+
+    clean = semi_anti_join(
+        ds.select_columns([id_col, text_col]),
+        spans.select_columns(["doc"]), id_col, right_key="doc",
+        anti=True).map_batches(
+            lambda b: pa.table({id_col: b[id_col],
+                                "text_cut": b[text_col]}),
+            batch_format="pyarrow")
+    return clean.union(cut_docs)

@@ -271,6 +271,52 @@ def test_duplicate_span_coverage_planted(monkeypatch):
     assert got == {0: 62, 1: 62, 2: 46, 3: 47, 4: 46}
 
 
+def _naive_cut(L=40):
+    """Single-process span-cut oracle over the planted fixture."""
+    texts = [r["text"] for r in _span_docs().sort("doc_id").take_all()]
+    gram_docs = {}
+    for d, t in enumerate(texts):
+        for i in range(len(t) - L + 1):
+            gram_docs.setdefault(t[i:i + L], set()).add(d)
+    out = {}
+    for d, t in enumerate(texts):
+        covered = set()
+        for i in range(len(t) - L + 1):
+            if len(gram_docs[t[i:i + L]]) >= 2:
+                covered.update(range(i, i + L))
+        out[d] = "".join(c for p, c in enumerate(t) if p not in covered)
+    return out
+
+
+def test_cut_duplicate_spans_planted(monkeypatch):
+    """The span-cut TRANSFORM: every doc present, flagged docs lose
+    exactly the q74-covered characters, clean docs pass through
+    byte-identical — on both physical plans."""
+    from batch_geocode_ray.stages.substring import (
+        cut_duplicate_spans,
+        duplicate_span_coverage,
+    )
+
+    want = _naive_cut()
+
+    def run():
+        return {r["doc_id"]: r["text_cut"]
+                for r in cut_duplicate_spans(
+                    _span_docs(), "text", "doc_id", L=40).take_all()}
+
+    got = run()
+    assert got == want
+    # cut size == q74's coverage, doc by doc
+    cov = {r["doc_id"]: r["n_dup_chars"]
+           for r in duplicate_span_coverage(
+               _span_docs(), "text", "doc_id", L=40).take_all()}
+    texts = {r["doc_id"]: r["text"] for r in _span_docs().take_all()}
+    for d, t in texts.items():
+        assert len(t) - len(got[d]) == cov.get(d, 0)
+    monkeypatch.setattr(dd, "SMALL_COLLAPSE_BYTES", 0)  # distributed plan
+    assert run() == want
+
+
 def test_pca_project_matches_numpy():
     """Distributed partial-merge PCA equals single-process numpy PCA
     (covariance eigh) up to 1e-9, including the sign convention, over
