@@ -3090,6 +3090,43 @@ ORDER BY d.doc_id
 """
 
 
+def q78_pack_sequences(sf_dir: str) -> Dataset:
+    """GPT-style training-sequence packing: deterministic Knuth-hash
+    shuffle order, then a DISTRIBUTED ORDERED PREFIX SUM of whitespace
+    token counts gives every document its token offset in the packed
+    stream and the fixed 1024-token training sequences it spans
+    (Blelloch scan: per-bucket totals -> driver exclusive scan over a
+    bounded nb-row table -> one coarse-bucket exchange of NARROW
+    (id, key, n_tokens) tuples; the text never rides a shuffle)."""
+    from batch_geocode_ray.stages.windows import sequence_pack_offsets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = sequence_pack_offsets(
+        docs, "doc_id", "text", seq_len=1024,
+        size_hint_bytes=_table_bytes(sf_dir, "documents"))
+    return _sort_adaptive(out, "doc_id")
+
+
+SQL_Q78 = """
+WITH t AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT * 2654435761) % 4294967296)::BIGINT AS shuffle_key,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start_off
+  FROM t
+)
+SELECT doc_id, shuffle_key, n_tokens, start_off,
+       (start_off // 1024)::BIGINT AS first_seq,
+       ((start_off + n_tokens - 1) // 1024)::BIGINT AS last_seq
+FROM s ORDER BY doc_id
+"""
+
+
 _Q76_K = 13
 _Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
 
@@ -3212,6 +3249,7 @@ QUERIES = {
     "q75_embedding_pca": q75_embedding_pca,
     "q76_decontaminate": q76_decontaminate,
     "q77_cut_dup_spans": q77_cut_dup_spans,
+    "q78_pack_sequences": q78_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -3284,6 +3322,7 @@ ORACLE_SQL = {
     "q74_dup_span_coverage": SQL_Q74,
     "q76_decontaminate": SQL_Q76,
     "q77_cut_dup_spans": SQL_Q77,
+    "q78_pack_sequences": SQL_Q78,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -474,3 +474,136 @@ def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
     return grouped_aggregate(partials, ["from_type", "to_type"],
                              [("n", "sum", "n")], merge="single",
                              sort_keys=["from_type", "to_type"])
+
+
+def sequence_pack_offsets(ds: Dataset, id_col: str, text_col: str,
+                          seq_len: int = 1024,
+                          mult: int = 2654435761,
+                          n_buckets: int | None = None,
+                          size_hint_bytes: int | None = None) -> Dataset:
+    """GPT-style training-sequence packing: a DISTRIBUTED ORDERED PREFIX
+    SUM over token counts in a deterministic shuffle order.
+
+    Training pipelines concatenate the (shuffled) corpus into one token
+    stream and slice it into fixed ``seq_len`` sequences (GPT-2/3 data
+    prep). This operator computes, per document:
+
+    * ``shuffle_key`` — the deterministic shuffle position,
+      ``(id * mult) mod 2^32`` (Knuth multiplicative hash; same family
+      as :func:`~batch_geocode_ray.functions.hashing.knuth_bucket100`),
+      total order with ``id_col`` as tie-break;
+    * ``n_tokens`` — whitespace token count (``count(' ') + 1``;
+      SQL parity: ``len(string_split(text, ' '))``);
+    * ``start_off`` — EXCLUSIVE prefix sum of ``n_tokens`` in
+      (shuffle_key, id) order = the doc's offset in the packed stream;
+    * ``first_seq`` / ``last_seq`` — the fixed-size training sequences
+      the doc lands in (``start_off // seq_len`` and
+      ``(start_off + n_tokens - 1) // seq_len``).
+
+    A global ordered scan is an inherently sequential recurrence; the
+    distributed plan decomposes it the textbook way (Blelloch):
+
+    1. one map pass reduces the corpus to narrow (id, key, n_tokens)
+       tuples — the text NEVER rides an exchange — and range-buckets
+       the uniform 32-bit key space into ``nb`` contiguous slices;
+    2. per-bucket token TOTALS (one tiny partial row per batch x
+       bucket via :func:`grouped_aggregate`) come back to the driver —
+       a bounded ``nb``-row table — where an exclusive scan yields
+       per-bucket BASE offsets, broadcast once via ``ray.put``;
+    3. one coarse-bucket exchange co-locates each key slice; inside a
+       bucket the rows lexsort by (key, id) and a local cumsum + the
+       bucket base gives exact global offsets.
+
+    Below ``SMALL_COLLAPSE_BYTES`` (or without a qualifying
+    ``size_hint_bytes``) the whole narrow table sorts and scans in ONE
+    task, skipping both all-to-alls. With a hint >= the threshold the
+    plan is fully streaming (no materialization); the narrow lineage
+    re-executes once per pass (2 pruned reads total).
+
+    Requires non-negative integer ids and non-null text. Offsets are
+    int64 (a 100 TB corpus is ~2^44 tokens — 3 orders of magnitude of
+    headroom).
+    """
+    from batch_geocode_ray.stages.dedup import (
+        _one_task,
+        _probe_small,
+        adaptive_bucket_count,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("sequence_pack_offsets: ids must be >= 0")
+        key = (ids.astype(np.uint64) * np.uint64(mult)) \
+            & np.uint64(0xFFFFFFFF)
+        toks = pc.add(pc.count_substring(
+            b[text_col].combine_chunks(), " "), 1).cast(pa.int64())
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
+            "n_tokens": toks,
+        })
+
+    def pack(t: pa.Table, base: int) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        key = np.asarray(t["shuffle_key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        tok = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((ids, key))
+        ids, key, tok = ids[order], key[order], tok[order]
+        start = base + np.cumsum(tok) - tok
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shuffle_key": pa.array(key, pa.int64()),
+            "n_tokens": pa.array(tok, pa.int64()),
+            "start_off": pa.array(start, pa.int64()),
+            "first_seq": pa.array(start // seq_len, pa.int64()),
+            "last_seq": pa.array((start + tok - 1) // seq_len, pa.int64()),
+        })
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    m, small, approx = _probe_small(narrow_ds,
+                                    size_hint_bytes=size_hint_bytes)
+    if small:
+        return _one_task(m, lambda t: pack(t, 0))
+
+    import ray as _ray
+
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+
+    nb = n_buckets or adaptive_bucket_count(approx)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["shuffle_key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64).astype(np.uint64)
+        bkt = ((key * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bkt, pa.int64()))
+
+    bucketed = m.map_batches(add_bucket, batch_format="pyarrow")
+
+    # pass 1: per-bucket token totals -> driver exclusive scan (nb rows,
+    # bounded: nb grows ~linearly at 32 MB/bucket => ~12 MB of totals
+    # even at a 10^12-doc corpus)
+    totals = grouped_aggregate(
+        bucketed.select_columns(["_bucket", "n_tokens"]),
+        ["_bucket"], [("n_tokens", "sum", "tok_sum")], merge="single")
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    for tb in totals.iter_batches(batch_format="pyarrow"):
+        per_bucket[np.asarray(tb["_bucket"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64)] = \
+            np.asarray(tb["tok_sum"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(per_bucket)[:-1]]).astype(np.int64)
+    bases_ref = _ray.put(bases)
+
+    # pass 2: co-locate each contiguous key slice, scan locally
+    def pack_in_bucket(g: pa.Table) -> pa.Table:
+        bkt = int(g["_bucket"][0].as_py())
+        base = int(_ray.get(bases_ref)[bkt])
+        return pack(g.drop_columns(["_bucket"]), base)
+
+    return (bucketed.groupby("_bucket")
+            .map_groups(pack_in_bucket, batch_format="pyarrow"))

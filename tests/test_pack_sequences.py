@@ -1,0 +1,116 @@
+"""q78 sequence packing: the distributed ordered prefix sum.
+
+Pins (a) both physical plans (single-task collapse vs bucket exchange)
+bit-equal to a NumPy scan oracle, (b) the hinted plan never
+materializes, (c) the packing invariants (offsets partition the token
+stream; sequence ids consistent with seq_len), (d) id validation.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from batch_geocode_ray.stages.windows import sequence_pack_offsets
+
+
+def _corpus(n=257, seed=7):
+    rng = np.random.RandomState(seed)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # sparse, non-negative
+    texts = [" ".join(f"w{rng.randint(50)}"
+                      for _ in range(int(rng.randint(1, 40))))
+             for _ in range(n)]
+    return ids, texts
+
+
+def _numpy_oracle(ids, texts, seq_len):
+    key = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    tok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    order = np.lexsort((ids, key.astype(np.int64)))
+    ids_o, key_o, tok_o = ids[order], key[order].astype(np.int64), tok[order]
+    start = np.cumsum(tok_o) - tok_o
+    return pa.table({
+        "doc_id": pa.array(ids_o, pa.int64()),
+        "shuffle_key": pa.array(key_o, pa.int64()),
+        "n_tokens": pa.array(tok_o, pa.int64()),
+        "start_off": pa.array(start, pa.int64()),
+        "first_seq": pa.array(start // seq_len, pa.int64()),
+        "last_seq": pa.array((start + tok_o - 1) // seq_len, pa.int64()),
+    }).sort_by("doc_id")
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+def test_pack_sequences_both_plans_match_oracle():
+    ids, texts = _corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    want = _numpy_oracle(ids, texts, 64)
+
+    small = _collect(sequence_pack_offsets(ds, "doc_id", "text", seq_len=64))
+    assert small.equals(want)
+
+    big = _collect(sequence_pack_offsets(
+        ds, "doc_id", "text", seq_len=64,
+        n_buckets=7, size_hint_bytes=1 << 40))
+    assert big.equals(want)
+
+
+def test_pack_sequences_invariants():
+    ids, texts = _corpus(n=100, seed=3)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    t = _collect(sequence_pack_offsets(ds, "doc_id", "text", seq_len=32))
+    key = np.asarray(t["shuffle_key"])
+    tok = np.asarray(t["n_tokens"])
+    start = np.asarray(t["start_off"])
+    order = np.lexsort((np.asarray(t["doc_id"]), key))
+    # offsets tile the concatenated token stream exactly, no gaps
+    assert start[order][0] == 0
+    assert np.array_equal(start[order][1:],
+                          (start + tok)[order][:-1])
+    assert (start + tok)[order][-1] == tok.sum()
+    # sequence ids consistent with the fixed length
+    assert np.array_equal(np.asarray(t["first_seq"]), start // 32)
+    assert np.array_equal(np.asarray(t["last_seq"]), (start + tok - 1) // 32)
+
+
+def test_pack_sequences_hint_streams(monkeypatch):
+    from ray.data import Dataset
+
+    ids, texts = _corpus(n=64, seed=11)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    want = _collect(sequence_pack_offsets(ds, "doc_id", "text", seq_len=64))
+
+    real = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    monkeypatch.setattr(Dataset, "materialize", forbidden)
+    try:
+        got = _collect(sequence_pack_offsets(
+            ds, "doc_id", "text", seq_len=64, size_hint_bytes=1 << 40))
+    finally:
+        monkeypatch.setattr(Dataset, "materialize", real)
+    assert got.equals(want)
+
+
+def test_pack_sequences_rejects_negative_ids():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1, 2], pa.int64()),
+        "text": pa.array(["a b", "c"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="ids must be >= 0"):
+        sequence_pack_offsets(ds, "doc_id", "text").take_all()
