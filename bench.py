@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q57_corpus_vocab",         # combiner pre-agg + bounded global top-k
     # round 4 (suite-composition note in BASELINE.md: r4 adds one entry)
     "q73_dup_substring_positions",  # substring-level dedup position stream
+    # round 5 additions (compare r4<->r5 on the shared 18 entries above)
+    "q76_decontaminate",        # broadcast n-gram membership, zero shuffles
+    "q77_cut_dup_spans",        # span-cut transform: interval blobs + anti join
+    "q78_pack_sequences",       # distributed ordered prefix sum (Blelloch)
 ]
 
 
