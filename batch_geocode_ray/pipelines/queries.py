@@ -3127,6 +3127,41 @@ FROM s ORDER BY doc_id
 """
 
 
+def q79_mixture_budget(sf_dir: str) -> Dataset:
+    """Data-mixture curation: cap every source at a 700-token budget,
+    keeping documents in the deterministic shuffle order (the
+    subsampling step behind mixture reweighting a la DoReMi / The
+    Pile's per-set epochs). Same Blelloch scan as q78 with the prefix
+    sum PARTITIONED BY source — pass-1 totals keyed on (range-bucket,
+    source), per-source bases broadcast once."""
+    from batch_geocode_ray.stages.windows import grouped_token_budget_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = grouped_token_budget_sample(
+        docs, "doc_id", "text", "source", budget_tokens=700,
+        size_hint_bytes=_table_bytes(sf_dir, "documents"))
+    return _sort_adaptive(out, "doc_id")
+
+
+SQL_Q79 = """
+WITH t AS (
+  SELECT doc_id, source,
+         ((doc_id::HUGEINT * 2654435761) % 4294967296)::BIGINT AS shuffle_key,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, shuffle_key, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS src_off
+  FROM t
+)
+SELECT doc_id, source, shuffle_key, n_tokens, src_off
+FROM s WHERE src_off + n_tokens <= 700 ORDER BY doc_id
+"""
+
+
 _Q76_K = 13
 _Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
 
@@ -3250,6 +3285,7 @@ QUERIES = {
     "q76_decontaminate": q76_decontaminate,
     "q77_cut_dup_spans": q77_cut_dup_spans,
     "q78_pack_sequences": q78_pack_sequences,
+    "q79_mixture_budget": q79_mixture_budget,
 }
 
 ORACLE_SQL = {
@@ -3323,6 +3359,7 @@ ORACLE_SQL = {
     "q76_decontaminate": SQL_Q76,
     "q77_cut_dup_spans": SQL_Q77,
     "q78_pack_sequences": SQL_Q78,
+    "q79_mixture_budget": SQL_Q79,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -607,3 +607,144 @@ def sequence_pack_offsets(ds: Dataset, id_col: str, text_col: str,
 
     return (bucketed.groupby("_bucket")
             .map_groups(pack_in_bucket, batch_format="pyarrow"))
+
+
+def grouped_token_budget_sample(ds: Dataset, id_col: str, text_col: str,
+                                group_col: str, budget_tokens: int,
+                                mult: int = 2654435761,
+                                n_buckets: int | None = None,
+                                size_hint_bytes: int | None = None
+                                ) -> Dataset:
+    """Data-mixture curation: cap every group (source / domain) at a
+    token budget, keeping documents in DETERMINISTIC shuffle order —
+    the distributed form of "take each source's first N tokens of the
+    shuffled corpus" (the subsampling step behind mixture reweighting
+    a la DoReMi / The Pile's per-set epochs).
+
+    Per document: the same ``shuffle_key`` order as
+    :func:`sequence_pack_offsets`, but the exclusive prefix sum of
+    ``n_tokens`` runs PER GROUP (SQL parity:
+    ``SUM(n_tokens) OVER (PARTITION BY group ORDER BY key, id)``).
+    A doc is kept iff its whole token span fits the budget:
+    ``src_off + n_tokens <= budget_tokens``. Output columns:
+    (id, group, shuffle_key, n_tokens, src_off) — kept rows only.
+
+    Same Blelloch-scan plan as :func:`sequence_pack_offsets` with the
+    pass-1 totals keyed on (range-bucket, group) and per-group base
+    offsets broadcast as a dict of arrays. Partitioning assumption:
+    GROUP CARDINALITY IS BOUNDED (mixture sources/domains, ~10^0-10^4)
+    — the driver-side totals table is nb x n_groups rows; a
+    high-cardinality group key (per-url) needs a different plan (it
+    also makes no sense as a mixture axis).
+    """
+    from batch_geocode_ray.stages.dedup import (
+        _one_task,
+        _probe_small,
+        adaptive_bucket_count,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("grouped_token_budget_sample: ids must be >= 0")
+        key = (ids.astype(np.uint64) * np.uint64(mult)) \
+            & np.uint64(0xFFFFFFFF)
+        toks = pc.add(pc.count_substring(
+            b[text_col].combine_chunks(), " "), 1).cast(pa.int64())
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            group_col: b[group_col],
+            "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
+            "n_tokens": toks,
+        })
+
+    def scan(t: pa.Table, base_for) -> pa.Table:
+        """Per-group exclusive scan in (key, id) order + budget filter.
+        ``base_for(group_name) -> int`` supplies this slice's per-group
+        base offset."""
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        key = np.asarray(t["shuffle_key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        tok = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        grp = t[group_col].combine_chunks()
+        # stable group codes from the SORTED unique list so the segment
+        # order below is deterministic (vectorized: dictionary-encode,
+        # then re-rank the dictionary into sorted order)
+        de = grp.dictionary_encode()
+        dict_vals = de.dictionary
+        idx = np.asarray(de.indices, dtype=np.int64)
+        si = np.asarray(pc.sort_indices(dict_vals), dtype=np.int64)
+        uniq = dict_vals.take(pa.array(si, pa.int64()))
+        rank = np.empty(len(si), np.int64)
+        rank[si] = np.arange(len(si), dtype=np.int64)
+        g = rank[idx]
+        order = np.lexsort((ids, key, g))   # group-major, shuffle order
+        ids, key, tok, g = ids[order], key[order], tok[order], g[order]
+        cum = np.cumsum(tok)
+        seg = np.flatnonzero(np.diff(g, prepend=np.int64(-1)))
+        seg_base = np.repeat(cum[seg] - tok[seg],
+                             np.diff(np.append(seg, len(g))))
+        bases = np.array([base_for(uniq[c].as_py()) for c in g[seg]],
+                         dtype=np.int64)
+        base_row = np.repeat(bases, np.diff(np.append(seg, len(g))))
+        src_off = base_row + (cum - seg_base) - tok
+        keep = src_off + tok <= budget_tokens
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            group_col: uniq.take(pa.array(g[keep], pa.int64())),
+            "shuffle_key": pa.array(key[keep], pa.int64()),
+            "n_tokens": pa.array(tok[keep], pa.int64()),
+            "src_off": pa.array(src_off[keep], pa.int64()),
+        })
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    m, small, approx = _probe_small(narrow_ds,
+                                    size_hint_bytes=size_hint_bytes)
+    if small:
+        return _one_task(m, lambda t: scan(t, lambda _g: 0))
+
+    import ray as _ray
+
+    from batch_geocode_ray.stages.aggregates import grouped_aggregate
+
+    nb = n_buckets or adaptive_bucket_count(approx)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["shuffle_key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64).astype(np.uint64)
+        bkt = ((key * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bkt, pa.int64()))
+
+    bucketed = m.map_batches(add_bucket, batch_format="pyarrow")
+
+    # pass 1: (bucket, group) token totals -> driver per-group
+    # exclusive scan over buckets (nb x n_groups rows, bounded by the
+    # group-cardinality assumption above)
+    totals = grouped_aggregate(
+        bucketed.select_columns(["_bucket", group_col, "n_tokens"]),
+        ["_bucket", group_col], [("n_tokens", "sum", "tok_sum")],
+        merge="single")
+    per: dict[str, np.ndarray] = {}
+    for tb in totals.iter_batches(batch_format="pyarrow"):
+        bks = np.asarray(tb["_bucket"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        gs = tb[group_col].to_pylist()
+        ts = np.asarray(tb["tok_sum"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        for bk, gname, tv in zip(bks, gs, ts):
+            per.setdefault(gname, np.zeros(nb, np.int64))[bk] = tv
+    bases = {gname: np.concatenate([[0], np.cumsum(v)[:-1]]).astype(np.int64)
+             for gname, v in per.items()}
+    bases_ref = _ray.put(bases)
+
+    def scan_in_bucket(g: pa.Table) -> pa.Table:
+        bkt = int(g["_bucket"][0].as_py())
+        b = _ray.get(bases_ref)
+        return scan(g.drop_columns(["_bucket"]),
+                    lambda gname: int(b[gname][bkt]))
+
+    return (bucketed.groupby("_bucket")
+            .map_groups(scan_in_bucket, batch_format="pyarrow"))

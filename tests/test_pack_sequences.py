@@ -114,3 +114,91 @@ def test_pack_sequences_rejects_negative_ids():
     }))
     with pytest.raises(Exception, match="ids must be >= 0"):
         sequence_pack_offsets(ds, "doc_id", "text").take_all()
+
+
+# ---------------------------------------------------------------------------
+# q79: grouped (per-source) token-budget sampling
+# ---------------------------------------------------------------------------
+
+from batch_geocode_ray.stages.windows import grouped_token_budget_sample
+
+
+def _grouped_corpus(n=240, seed=5, n_groups=6):
+    rng = np.random.RandomState(seed)
+    ids = np.arange(n, dtype=np.int64) * 7 + 2
+    grps = [f"s{int(rng.randint(n_groups))}" for _ in range(n)]
+    texts = [" ".join(f"w{rng.randint(30)}"
+                      for _ in range(int(rng.randint(1, 25))))
+             for _ in range(n)]
+    return ids, grps, texts
+
+
+def _budget_oracle(ids, grps, texts, budget):
+    key = ((ids.astype(np.uint64) * np.uint64(2654435761))
+           & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    tok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    rows = []
+    for gname in sorted(set(grps)):
+        sel = np.array([g == gname for g in grps])
+        order = np.lexsort((ids[sel], key[sel]))
+        i_sel = np.flatnonzero(sel)[order]
+        off = 0
+        for i in i_sel:
+            if off + tok[i] <= budget:
+                rows.append((int(ids[i]), gname, int(key[i]),
+                             int(tok[i]), off))
+            off += tok[i]
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "shuffle_key": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+        "src_off": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def test_mixture_budget_both_plans_match_oracle():
+    ids, grps, texts = _grouped_corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(grps, pa.string()),
+    })).repartition(4)
+    want = _budget_oracle(ids, np.array(grps), texts, 120)
+
+    small = _collect(grouped_token_budget_sample(
+        ds, "doc_id", "text", "source", 120))
+    assert small.equals(want)
+    assert 0 < small.num_rows < len(ids)  # budget actually bites
+
+    big = _collect(grouped_token_budget_sample(
+        ds, "doc_id", "text", "source", 120,
+        n_buckets=5, size_hint_bytes=1 << 40))
+    assert big.equals(want)
+
+
+def test_mixture_budget_hint_streams(monkeypatch):
+    from ray.data import Dataset
+
+    ids, grps, texts = _grouped_corpus(n=80, seed=9, n_groups=3)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(grps, pa.string()),
+    })).repartition(3)
+    want = _collect(grouped_token_budget_sample(
+        ds, "doc_id", "text", "source", 100))
+
+    real = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    monkeypatch.setattr(Dataset, "materialize", forbidden)
+    try:
+        got = _collect(grouped_token_budget_sample(
+            ds, "doc_id", "text", "source", 100, size_hint_bytes=1 << 40))
+    finally:
+        monkeypatch.setattr(Dataset, "materialize", real)
+    assert got.equals(want)
