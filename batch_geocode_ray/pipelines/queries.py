@@ -3162,6 +3162,31 @@ FROM s WHERE src_off + n_tokens <= 700 ORDER BY doc_id
 """
 
 
+def q80_quantile_select(sf_dir: str) -> Dataset:
+    """FineWeb-style top-decile selection: keep documents whose length
+    clears the corpus's EXACT 90th-percentile threshold. The statistic
+    is mergeable (value->count partials over the bounded-cardinality
+    integer score, never the raw values), the threshold broadcasts as
+    one scalar, and the keep pass is a zero-shuffle stream filter."""
+    from batch_geocode_ray.stages.aggregates import int_quantile_threshold
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    th = int_quantile_threshold(docs, "n_chars", 0.9)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_chars"], pa.scalar(th)))
+
+    return _sort_adaptive(
+        docs.map_batches(keep, batch_format="pyarrow"), "doc_id")
+
+
+SQL_Q80 = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9) FROM documents)
+ORDER BY doc_id
+"""
+
+
 _Q76_K = 13
 _Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
 
@@ -3286,6 +3311,7 @@ QUERIES = {
     "q77_cut_dup_spans": q77_cut_dup_spans,
     "q78_pack_sequences": q78_pack_sequences,
     "q79_mixture_budget": q79_mixture_budget,
+    "q80_quantile_select": q80_quantile_select,
 }
 
 ORACLE_SQL = {
@@ -3360,6 +3386,7 @@ ORACLE_SQL = {
     "q77_cut_dup_spans": SQL_Q77,
     "q78_pack_sequences": SQL_Q78,
     "q79_mixture_budget": SQL_Q79,
+    "q80_quantile_select": SQL_Q80,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

@@ -422,3 +422,45 @@ def grouped_collect_distinct_sorted(ds: Dataset, key: str, val: str,
 
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
     return _bucketed_groups(pairs, bucket, assemble)
+
+
+def int_quantile_threshold(ds: Dataset, value_col: str, q: float) -> int:
+    """EXACT global discrete quantile of an INTEGER column at corpus
+    scale — the selection statistic behind "keep the top X% by score"
+    curation (FineWeb-style length/quality gating).
+
+    :func:`grouped_quantiles` routes one group's raw values to one
+    worker — fine per-category, corpus-fatal for a single global group
+    (10^12 rows of int64 = 8 TB in one task). This path is mergeable
+    instead: per-batch value->count partials (pyarrow hash group-by)
+    -> single-task merge -> driver cumulative scan over the DISTINCT
+    values. Partitioning assumption: the SCORE'S CARDINALITY is
+    bounded (doc lengths, integer quality scores — ~10^6 distinct),
+    which is what makes the exact answer cheap; a continuous score
+    needs the q44 quantile-sketch path and its error bound instead.
+
+    Returns the sorted element at index ``ceil(q*n)-1`` (DuckDB
+    ``quantile_disc`` semantics, same as :func:`grouped_quantiles`).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"int_quantile_threshold: q={q} outside [0, 1]")
+    counts = grouped_aggregate(
+        ds.select_columns([value_col]), [value_col],
+        [(value_col, "count", "_n")], merge="single",
+        sort_keys=[value_col])
+    vs, ns = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        vs.append(np.asarray(b[value_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64))
+        ns.append(np.asarray(b["_n"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64))
+    if not vs or not sum(len(v) for v in vs):
+        raise ValueError("int_quantile_threshold: empty input")
+    v = np.concatenate(vs)
+    n = np.concatenate(ns)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    total = int(n.sum())
+    rank = min(max(int(np.ceil(q * total)) - 1, 0), total - 1)
+    cum = np.cumsum(n)
+    return int(v[np.searchsorted(cum, rank + 1)])

@@ -202,3 +202,35 @@ def test_mixture_budget_hint_streams(monkeypatch):
     finally:
         monkeypatch.setattr(Dataset, "materialize", real)
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# q80: exact global integer quantile threshold (mergeable value counts)
+# ---------------------------------------------------------------------------
+
+import duckdb
+
+from batch_geocode_ray.stages.aggregates import int_quantile_threshold
+
+
+def test_int_quantile_threshold_matches_duckdb_quantile_disc():
+    rng = np.random.RandomState(13)
+    vals = rng.randint(0, 40, size=501).astype(np.int64)  # heavy dups
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})) \
+        .repartition(6)
+    for q in (0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0):
+        want = duckdb.sql(
+            f"select quantile_disc(x, {q}) from "
+            f"(select unnest({vals.tolist()}) x)").fetchone()[0]
+        got = int_quantile_threshold(ds, "x", q)
+        assert got == want, (q, got, want)
+
+
+def test_int_quantile_threshold_edges():
+    ds = rd.from_arrow(pa.table({"x": pa.array([7], pa.int64())}))
+    assert int_quantile_threshold(ds, "x", 0.5) == 7
+    with pytest.raises(ValueError, match="outside"):
+        int_quantile_threshold(ds, "x", 1.5)
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    with pytest.raises(ValueError, match="empty input"):
+        int_quantile_threshold(empty, "x", 0.5)
