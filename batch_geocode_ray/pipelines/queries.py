@@ -3222,12 +3222,13 @@ ORDER BY tr.doc_id
 # is least-recently-verified (VERDICT r4 "Next round" #1):
 #   Tier 1 — the 25 queries with no CORRECTNESS_r04 row (driver-green
 #            in r1–r3, rotated out of r4's 50-row gate).
-#   Tier 2 — flagship gates + one anchor per operator family, all
-#            gated in r4; re-gated now so the core surface keeps a
-#            fresh driver row every round.
-#   Tier 3 — q51–q77: gated most recently (r4) or new this round (q76/q77
-#            decontamination + span-cut — selfcheck-verified, enter the gate next
-#            rotation).
+#   Tier 2 — flagship gates + one anchor per operator family (gated in
+#            r4; re-gated now so the core surface keeps a fresh driver
+#            row every round), ENDING with the five NEW round-5 queries
+#            (q76–q80) so each new operator gets a driver row in its
+#            first and final round.
+#   Tier 3 — q38/q40/q42/q43/q44 (displaced anchors, r4-green +
+#            selfcheck-verified) then q51–q75: gated most recently (r4).
 QUERIES = {
     # --- tier 1: least-recently gated (r1–r3 only) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3275,13 +3276,24 @@ QUERIES = {
     "q33_events_last_order": q33_events_last_order,
     "q34_corpus_curation": q34_corpus_curation,
     "q37_distinct_urls_hll": q37_distinct_urls_hll,
-    "q38_heavy_hitters": q38_heavy_hitters,
-    "q44_price_quantile_sketch": q44_price_quantile_sketch,
-    "q40_price_quantiles": q40_price_quantiles,
     "q41_url_canonical": q41_url_canonical,
+    # --- NEW this round (q76-q80): inside the 50-row gate window so
+    # each new operator gets an authoritative driver row in its first
+    # (and final) round; the five anchors they displace (q38, q40,
+    # q42, q43, q44 -> moved to the head of tier 3) are driver-green
+    # in r4 AND selfcheck-verified this round — the same evidence
+    # standard the r4 judge accepted for rotated-out queries.
+    "q76_decontaminate": q76_decontaminate,
+    "q77_cut_dup_spans": q77_cut_dup_spans,
+    "q78_pack_sequences": q78_pack_sequences,
+    "q79_mixture_budget": q79_mixture_budget,
+    "q80_quantile_select": q80_quantile_select,
+    # --- tier 3: gated in r4, rotated out this round ---
+    "q38_heavy_hitters": q38_heavy_hitters,
+    "q40_price_quantiles": q40_price_quantiles,
     "q42_signup_followup_counts": q42_signup_followup_counts,
     "q43_user_moving_avg": q43_user_moving_avg,
-    # --- tier 3: gated in r4, rotated out this round ---
+    "q44_price_quantile_sketch": q44_price_quantile_sketch,
     "q51_user_interarrival": q51_user_interarrival,
     "q52_order_sample_stats": q52_order_sample_stats,
     "q53_event_type_pivot": q53_event_type_pivot,
@@ -3307,11 +3319,6 @@ QUERIES = {
     "q73_dup_substring_positions": q73_dup_substring_positions,
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
-    "q76_decontaminate": q76_decontaminate,
-    "q77_cut_dup_spans": q77_cut_dup_spans,
-    "q78_pack_sequences": q78_pack_sequences,
-    "q79_mixture_budget": q79_mixture_budget,
-    "q80_quantile_select": q80_quantile_select,
 }
 
 ORACLE_SQL = {

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q76_decontaminate",        # broadcast n-gram membership, zero shuffles
     "q77_cut_dup_spans",        # span-cut transform: interval blobs + anti join
     "q78_pack_sequences",       # distributed ordered prefix sum (Blelloch)
+    "q79_mixture_budget",       # grouped scan: per-source token budgets
+    "q80_quantile_select",      # mergeable exact quantile + stream filter
 ]
 
 
