@@ -3187,6 +3187,27 @@ ORDER BY doc_id
 """
 
 
+def q81_semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup-class semantic deduplication (Abbas et al. 2023) over
+    the embedding corpus: k-means clusters the space, then each cluster
+    flags items whose cosine to an earlier item (canonical order:
+    centroid-similarity ASC, id ASC) reaches the threshold — the kept
+    representative of each duplicate chain is the member farthest from
+    its centroid. Iterative k-means makes this non-SQL-expressible ->
+    rows-only; a naive single-process numpy oracle is pinned in
+    tests/test_semantic_dedup.py. testdata embeddings top out at
+    cosine ~0.51, so threshold 0.4 flags the planted near-dup mass."""
+    from batch_geocode_ray.stages.similarity import (kmeans_fit,
+                                                     semantic_dedup)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(emb, "embedding", k=8, iters=5, seed=11)
+    out = semantic_dedup(emb, "embedding", "vec_id", threshold=0.4,
+                         centroids=cent)
+    return _round_cols(_sort_adaptive(out, "vec_id"),
+                       {"centroid_sim": 4})
+
+
 _Q76_K = 13
 _Q76_GRAM = " || ' ' || ".join(f"t[u.i+{j}]" for j in range(_Q76_K))
 
@@ -3319,6 +3340,7 @@ QUERIES = {
     "q73_dup_substring_positions": q73_dup_substring_positions,
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
+    "q81_semantic_dedup": q81_semantic_dedup,
 }
 
 ORACLE_SQL = {
@@ -3413,4 +3435,8 @@ ORACLE_SQL = {
     #   q75 PCA — eigendecomposition is not SQL-expressible; the
     #       projection is pinned against a single-process numpy PCA in
     #       tests/test_r4_scale.py (test_pca_project_matches_numpy).
+    #   q81 semantic dedup — iterative k-means, not SQL-expressible;
+    #       the full pass (assignment + within-cluster suppression) is
+    #       pinned against a naive single-process numpy oracle in
+    #       tests/test_semantic_dedup.py, incl. both-plans equality.
 }

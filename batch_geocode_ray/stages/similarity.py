@@ -580,3 +580,126 @@ def pca_project(ds: Dataset, vec_col: str, id_col: str,
         return pa.table(out)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def semantic_dedup(ds: Dataset, vec_col: str, id_col: str,
+                   threshold: float = 0.9,
+                   centroids: np.ndarray | None = None,
+                   k: int = 8, kmeans_iters: int = 10, seed: int = 11,
+                   n_buckets: int | None = None,
+                   size_hint_bytes: int | None = None) -> Dataset:
+    """SemDeDup-class semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    WITHIN each cluster flag every item whose cosine similarity to an
+    item ranked earlier in the cluster's canonical order reaches
+    ``threshold``. The canonical order is (cosine-to-centroid ASC,
+    id ASC), so the kept representative of each duplicate chain is the
+    member FARTHEST from its centroid — the paper's "keep hard
+    examples" rule — and the whole pass is deterministic.
+
+    Distributed shape (the paper's reason for clustering first): the
+    O(n^2) pairwise matmul is confined to within-cluster blocks. One
+    narrow assign pass appends (cluster, centroid_sim) and packs the
+    NORMALIZED vector into a fixed-width binary blob (list<float>
+    cannot ride an exchange — see the MinHash verify note); then ONE
+    coarse-bucket exchange keyed on cluster delivers whole clusters to
+    tasks that lexsort, segment, and matmul per cluster. Below the
+    small threshold (or under a small ``size_hint_bytes``) the exchange
+    collapses to one task; above it the plan streams — pass
+    ``size_hint_bytes`` (input bytes) to skip the size probe entirely.
+
+    Partitioning assumption (document per the paper: k is chosen so
+    clusters average ~n/k items): ONE CLUSTER's members fit one task's
+    memory. At corpus scale pick k proportional to n (SemDeDup uses
+    50k clusters for LAION-440M); skewed giant clusters would need the
+    same salting treatment as connected components — out of scope here
+    because k-means clusters are size-bounded by construction far more
+    tightly than similarity components.
+
+    Output: one row per input — (id_col, cluster, centroid_sim, kept).
+    """
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+    from batch_geocode_ray.functions.hashing import splitmix64
+
+    if centroids is None:
+        centroids = kmeans_fit(ds, vec_col, k=k, iters=kmeans_iters,
+                               seed=seed)
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    cref = ray.put(cn)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mn = _normalize(_matrix_of(b, vec_col))
+        n = b.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "centroid_sim": pa.array([], pa.float64()),
+                             "_vec": pa.array([], pa.large_binary())})
+        sims = mn @ c.T
+        cl = sims.argmax(axis=1).astype(np.int64)
+        cs = sims[np.arange(n), cl]
+        width = mn.shape[1] * 8
+        offsets = (np.arange(n + 1, dtype=np.int64) * width)
+        vec_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(mn).tobytes())])
+        return pa.table({id_col: b[id_col].combine_chunks().cast(pa.int64()),
+                         "cluster": pa.array(cl),
+                         "centroid_sim": pa.array(cs, pa.float64()),
+                         "_vec": vec_arr})
+
+    def bucket(b: pa.Table, nb: int) -> pa.Table:
+        cl = np.asarray(b["cluster"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+        return b.append_column(
+            "_bucket",
+            pa.array((splitmix64(cl) % np.uint64(nb)).astype(np.int64)))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "centroid_sim": pa.array([], pa.float64()),
+                      "kept": pa.array([], pa.bool_())})
+
+    def dedup_in_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cl = np.asarray(g["cluster"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        cs = np.asarray(g["centroid_sim"].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        vcol = g["_vec"].combine_chunks().cast(pa.large_binary())
+        bufs = vcol.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[
+            vcol.offset:vcol.offset + n + 1]
+        flat = np.frombuffer(bufs[2], dtype=np.float64)
+        d = (offs[1] - offs[0]) // 8
+        mat = flat[offs[0] // 8: offs[-1] // 8].reshape(n, d)
+        # canonical order: (cluster, centroid_sim ASC, id ASC)
+        order = np.lexsort((ids, cs, cl))
+        ids, cl, cs, mat = ids[order], cl[order], cs[order], mat[order]
+        kept = np.ones(n, dtype=bool)
+        seg_starts = np.flatnonzero(np.diff(cl, prepend=cl[0] - 1))
+        seg_ends = np.append(seg_starts[1:], n)
+        for s, e in zip(seg_starts, seg_ends):
+            c = e - s
+            if c < 2:
+                continue
+            m = mat[s:e]
+            # strict upper triangle of the boolean mask: entry [j, i]
+            # (j earlier in canonical order) flags i as a duplicate
+            dup = np.triu(m @ m.T >= threshold, k=1)
+            kept[s:e] = ~dup.any(axis=0)
+        return pa.table({id_col: pa.array(ids),
+                         "cluster": pa.array(cl),
+                         "centroid_sim": pa.array(cs, pa.float64()),
+                         "kept": pa.array(kept)})
+
+    return _bucketed_groups(ds.map_batches(assign, batch_format="pyarrow"),
+                            bucket, dedup_in_bucket,
+                            n_buckets=n_buckets,
+                            size_hint_bytes=size_hint_bytes)
