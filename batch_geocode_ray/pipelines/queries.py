@@ -3187,6 +3187,57 @@ ORDER BY doc_id
 """
 
 
+def q82_source_lang_regression(sf_dir: str) -> Dataset:
+    """Per-(lang, source) bivariate statistics of chars-vs-tokens —
+    covariance, Pearson correlation, and the least-squares chars-on-
+    tokens fit — the "does length track token count per slice?"
+    analysis family. One streaming pass widens batches with moment
+    columns; the exchange carries six float64 moments per (group,
+    block), never rows. Full DuckDB oracle via covar_pop / corr /
+    regr_slope / regr_intercept."""
+    from batch_geocode_ray.functions.text import token_count_column
+    from batch_geocode_ray.stages.aggregates import grouped_bivariate_stats
+
+    docs = _read(sf_dir, "documents",
+                 ["lang", "source", "text", "n_chars"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"], "source": b["source"],
+            "n_tokens": pa.array(token_count_column(b["text"]),
+                                 pa.int64()),
+            "n_chars": b["n_chars"],
+        })
+
+    feats = docs.map_batches(tok, batch_format="pyarrow")
+    out = grouped_bivariate_stats(feats, ["lang", "source"],
+                                  "n_tokens", "n_chars",
+                                  merge="single",
+                                  sort_keys=["lang", "source"])
+    # covar/intercept are large-magnitude (~1e6 / ~1e3): the two
+    # engines' different summation orders disagree at the 1e-9-absolute
+    # level, which crosses a 4-decimal grain — round those at 2
+    # decimals; corr/slope are O(1) and safe at 4.
+    return _round_cols(out, {"covar_yx": 2, "corr_yx": 4,
+                             "slope": 4, "intercept": 2})
+
+
+SQL_Q82 = f"""
+WITH d AS (
+  SELECT lang, source,
+         CAST(len({_SQL_TOKS}) AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE) AS y
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_rows,
+       {_sql_fixed('covar_pop(y, x)', 2)} AS covar_yx,
+       {_sql_fixed('corr(y, x)')} AS corr_yx,
+       {_sql_fixed('regr_slope(y, x)')} AS slope,
+       {_sql_fixed('regr_intercept(y, x)', 2)} AS intercept
+FROM d GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def q81_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023) over
     the embedding corpus: k-means clusters the space, then each cluster
@@ -3341,6 +3392,7 @@ QUERIES = {
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
     "q81_semantic_dedup": q81_semantic_dedup,
+    "q82_source_lang_regression": q82_source_lang_regression,
 }
 
 ORACLE_SQL = {
@@ -3416,6 +3468,7 @@ ORACLE_SQL = {
     "q78_pack_sequences": SQL_Q78,
     "q79_mixture_budget": SQL_Q79,
     "q80_quantile_select": SQL_Q80,
+    "q82_source_lang_regression": SQL_Q82,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

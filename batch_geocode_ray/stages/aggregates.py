@@ -464,3 +464,73 @@ def int_quantile_threshold(ds: Dataset, value_col: str, q: float) -> int:
     rank = min(max(int(np.ceil(q * total)) - 1, 0), total - 1)
     cum = np.cumsum(n)
     return int(v[np.searchsorted(cum, rank + 1)])
+
+
+def grouped_bivariate_stats(ds: Dataset, keys: list[str],
+                            x_col: str, y_col: str,
+                            merge: str = "single",
+                            sort_keys: list[str] | None = None) -> Dataset:
+    """Per-group bivariate statistics — covariance, Pearson
+    correlation, and the simple least-squares fit of y on x
+    (``covar_yx``, ``corr_yx``, ``slope``, ``intercept``, plus
+    ``n_rows``) — the "does quality track length per language?"
+    analysis family (DuckDB's ``covar_pop``/``corr``/``regr_*``).
+
+    Scalable shape: one streaming pass widens each batch with the
+    moment columns (x, y, xy, x^2, y^2) and :func:`grouped_aggregate`
+    reduces them — the exchange carries ~n_groups x n_blocks rows of
+    six float64 moments, never the inputs. The finalize derives the
+    statistics from the merged moments; zero-variance groups yield
+    NULL slope/intercept/corr (DuckDB's semantics). Raw-moment
+    formulas lose precision when |mean| >> stddev — acceptable at the
+    4-decimal parity grain both engines round to; a Welford/pairwise
+    merge is the fix if a caller ever needs full precision.
+    """
+    xt, yt = "__bx", "__by"
+
+    def widen(b: pa.Table) -> pa.Table:
+        x = pc.cast(b[x_col], pa.float64())
+        y = pc.cast(b[y_col], pa.float64())
+        cols = {k: b[k] for k in keys}
+        cols[xt] = x
+        cols[yt] = y
+        cols["__bxy"] = pc.multiply(x, y)
+        cols["__bxx"] = pc.multiply(x, x)
+        cols["__byy"] = pc.multiply(y, y)
+        return pa.table(cols)
+
+    base = grouped_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow"), keys,
+        [(xt, "sum", "_sx"), (yt, "sum", "_sy"),
+         ("__bxy", "sum", "_sxy"), ("__bxx", "sum", "_sxx"),
+         ("__byy", "sum", "_syy"), (xt, "count", "n_rows")],
+        merge=merge, sort_keys=sort_keys)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_rows"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        sx = np.asarray(b["_sx"].to_numpy(zero_copy_only=False))
+        sy = np.asarray(b["_sy"].to_numpy(zero_copy_only=False))
+        sxy = np.asarray(b["_sxy"].to_numpy(zero_copy_only=False))
+        sxx = np.asarray(b["_sxx"].to_numpy(zero_copy_only=False))
+        syy = np.asarray(b["_syy"].to_numpy(zero_copy_only=False))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mx, my = sx / n, sy / n
+            cov = sxy / n - mx * my
+            vx = sxx / n - mx * mx
+            vy = syy / n - my * my
+            slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0),
+                             np.nan)
+            intercept = np.where(vx > 0, my - slope * mx, np.nan)
+            sd = np.sqrt(np.where(vx > 0, vx, np.nan)
+                         * np.where(vy > 0, vy, np.nan))
+            corr = np.where((vx > 0) & (vy > 0),
+                            cov / np.where(sd > 0, sd, 1.0), np.nan)
+        cols = {k: b[k] for k in keys}
+        cols["n_rows"] = pc.cast(b["n_rows"], pa.int64())
+        for name, arr in [("covar_yx", cov), ("corr_yx", corr),
+                          ("slope", slope), ("intercept", intercept)]:
+            cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return base.map_batches(finalize, batch_format="pyarrow")
