@@ -151,10 +151,14 @@ def make_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, keep_channels: bool = False) -> np.ndarray:
     """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG to (h, w) uint8
     grayscale (color channels averaged, alpha dropped — the same
-    convention as :func:`decode_bmp`). Scanline unfiltering is NumPy
+    convention as :func:`decode_bmp`). ``keep_channels=True`` instead
+    returns the stored layout — (h, w) gray, (h, w, 3) RGB,
+    (h, w, 4) RGBA (gray+alpha still drops alpha: there is no 2-channel
+    re-encode) — for transforms that must preserve color
+    (:class:`ImageResize`). Scanline unfiltering is NumPy
     per row: None/Up/Sub fully vectorized (Sub is a per-lane cumsum);
     Average/Paeth walk pixels within the row (their predictor needs the
     just-reconstructed left neighbor) but stay vectorized across
@@ -230,6 +234,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         return px[:, :, 0]
     if color == 4:                      # gray + alpha: drop alpha
         return px[:, :, 0]
+    if keep_channels:
+        return px
     return px[:, :, :3].mean(axis=2).astype(np.uint8)
 
 
@@ -438,3 +444,96 @@ class AudioFrameSample:
             "frame_energy", pa.FixedSizeListArray.from_arrays(
                 pa.array(energies.ravel(), pa.float64()), self.n_frames))
         return out
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize with half-pixel centers and edge
+    clamp (the OpenCV/PIL ``align_corners=False`` convention) — pure
+    NumPy gather + two lerps, no Python pixel loops. Accepts (h, w) or
+    (h, w, c) uint8; returns the same layout at (out_h, out_w)."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"resize_bilinear: bad target {out_h}x{out_w}")
+    h, w = img.shape[:2]
+    squeeze = img.ndim == 2
+    src = img[:, :, None].astype(np.float64) if squeeze \
+        else img.astype(np.float64)
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    fy = (ys - y0f)[:, None, None]
+    fx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
+    bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+class ImageResize:
+    """Actor-pool stage: image binary -> resized image binary (the
+    standard pre-training normalization step — every image to one
+    resolution before feature extraction / packing). Decode and
+    re-encode are REAL for the codecs this container can verify
+    (uncompressed BMP, 8-bit gray/RGB/RGBA PNG); the resample kernel
+    is :func:`resize_bilinear` (vectorized, no pixel loops). Output
+    replaces the payload column with the re-encoded image and rewrites
+    width/height — downstream stages (:class:`ImageFeatures`) consume
+    it unchanged.
+
+    Use small batches (payloads are big):
+        ds.map_batches(ImageResize(64, 64), batch_size=32,
+                       concurrency=(1, 8), num_cpus=0.5)
+    """
+
+    def __init__(self, out_h: int, out_w: int, image_col: str = "image",
+                 decode: str = "real", encode: str = "png"):
+        if encode not in ("png", "bmp"):
+            raise ValueError(f"ImageResize: unknown encode {encode!r}")
+        self.out_h, self.out_w = out_h, out_w
+        self.image_col = image_col
+        self.decode = decode
+        self.encode = encode
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if self.decode == "real":
+            if payload[:2] == b"BM":
+                return decode_bmp(payload)
+            if payload[:8] == _PNG_SIG:
+                return decode_png(payload, keep_channels=True)
+            raise NotImplementedError(
+                "ImageResize decode='real' supports uncompressed BMP "
+                "and 8-bit gray/RGB/RGBA PNG in this container; jpeg "
+                "needs Pillow")
+        return _fake_pixels(payload, min(h, 64), min(w, 64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.image_col].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        out_payloads: list[bytes | None] = []
+        for p, w, h in zip(payloads, widths, heights):
+            if p is None:
+                out_payloads.append(None)
+                continue
+            px = resize_bilinear(self._decode(p, w or 64, h or 64),
+                                 self.out_h, self.out_w)
+            if self.encode == "png":
+                out_payloads.append(make_png(px))
+            else:
+                if px.ndim != 2:
+                    px = np.clip(np.rint(px.mean(axis=2)),
+                                 0, 255).astype(np.uint8)
+                out_payloads.append(make_bmp(px))
+        idx = batch.column_names.index(self.image_col)
+        out = batch.set_column(idx, self.image_col,
+                               pa.array(out_payloads, pa.binary()))
+        out = out.set_column(out.column_names.index("width"), "width",
+                             pa.array([self.out_w] * batch.num_rows,
+                                      pa.int64()))
+        return out.set_column(out.column_names.index("height"), "height",
+                              pa.array([self.out_h] * batch.num_rows,
+                                       pa.int64()))
