@@ -780,15 +780,22 @@ def _media_table(n: int = 64) -> pa.Table:
 
 
 def q24_image_features(sf_dir: str) -> Dataset:
-    """Image feature extraction over an actor pool with REAL decoders
+    """Resize-then-featurize over actor pools with REAL decoders — the
+    standard pre-training normalization chain: every image is decoded
     (uncompressed BMP from the DIB layout; 8-bit PNG via stdlib zlib +
-    NumPy unfiltering — see stages/multimodal.py; jpeg still raises
-    with the needed codec named). Rows-only check: binary media are
-    not a SQL domain."""
-    from batch_geocode_ray.stages.multimodal import ImageFeatures
+    NumPy unfiltering), bilinear-resized to one 32x32 resolution
+    (vectorized half-pixel kernel), re-encoded PNG, then featurized
+    (jpeg still raises with the needed codec named). Rows-only check:
+    binary media are not a SQL domain."""
+    from batch_geocode_ray.stages.multimodal import (ImageFeatures,
+                                                     ImageResize)
 
     ds = rd.from_arrow(_media_table())
-    return ds.map_batches(
+    resized = ds.map_batches(
+        ImageResize, fn_constructor_args=(32, 32),
+        batch_size=16, batch_format="pyarrow",
+        concurrency=(1, 2), num_cpus=0.5)
+    return resized.map_batches(
         ImageFeatures, fn_constructor_kwargs={"decode": "real"},
         batch_size=16, batch_format="pyarrow",
         concurrency=(1, 2), num_cpus=0.5).sort("media_id")
