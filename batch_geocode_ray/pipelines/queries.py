@@ -3245,6 +3245,43 @@ FROM d GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q83_lm_perplexity(sf_dir: str) -> Dataset:
+    """CCNet-class LM quality signal: train an add-0.5-smoothed bigram
+    LM on the corpus in ONE vocab-bounded aggregation (unigram context
+    counts derive from the bigram table), broadcast the model once,
+    and score every document's self-perplexity with two searchsorted
+    probes per batch — zero shuffles on the scoring pass. Full DuckDB
+    oracle recomputes the same smoothed bigram probabilities."""
+    from batch_geocode_ray.stages.lm import bigram_lm_perplexity
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_perplexity(docs, "doc_id", "text", k=0.5)
+    return _round_cols(_sort_adaptive(out, "doc_id"), {"ppl": 4})
+
+
+SQL_Q83 = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks CROSS JOIN LATERAL
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+), uni AS (
+  SELECT w1, sum(cb) AS cu FROM bi GROUP BY w1
+), v AS (
+  SELECT count(*) AS vv FROM uni
+)
+SELECT p.doc_id, count(*) AS n_pairs,
+       {_sql_fixed('exp(-avg(ln((bi.cb + 0.5) / (uni.cu + 0.5 * v.vv))))')}
+           AS ppl
+FROM pairs p JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 def q81_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023) over
     the embedding corpus: k-means clusters the space, then each cluster
@@ -3400,6 +3437,7 @@ QUERIES = {
     "q75_embedding_pca": q75_embedding_pca,
     "q81_semantic_dedup": q81_semantic_dedup,
     "q82_source_lang_regression": q82_source_lang_regression,
+    "q83_lm_perplexity": q83_lm_perplexity,
 }
 
 ORACLE_SQL = {
@@ -3476,6 +3514,7 @@ ORACLE_SQL = {
     "q79_mixture_budget": SQL_Q79,
     "q80_quantile_select": SQL_Q80,
     "q82_source_lang_regression": SQL_Q82,
+    "q83_lm_perplexity": SQL_Q83,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is
