@@ -72,14 +72,26 @@ def test_matches_naive_oracle(ray_session, random_world):
     assert sum(not v for v in got.values()) >= 30  # planted dups flagged
 
 
-def test_both_plans_equal(ray_session, random_world):
+def test_both_plans_equal(ray_session, random_world, monkeypatch):
     ids, vecs, centroids = random_world
     ds = _mkds(ids, vecs)
     collapsed = _collect(semantic_dedup(
         ds, "embedding", "vec_id", threshold=0.8, centroids=centroids))
-    streamed = _collect(semantic_dedup(
-        ds, "embedding", "vec_id", threshold=0.8, centroids=centroids,
-        size_hint_bytes=SMALL_COLLAPSE_BYTES * 4))
+    # the hinted plan must also never materialize (house convention:
+    # the size probe was the only materializer these plans had)
+    from ray.data import Dataset
+    real = Dataset.materialize
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("materialize() called on the hinted plan")
+
+    monkeypatch.setattr(Dataset, "materialize", forbidden)
+    try:
+        streamed = _collect(semantic_dedup(
+            ds, "embedding", "vec_id", threshold=0.8, centroids=centroids,
+            size_hint_bytes=SMALL_COLLAPSE_BYTES * 4))
+    finally:
+        monkeypatch.setattr(Dataset, "materialize", real)
     assert collapsed == streamed
 
 
