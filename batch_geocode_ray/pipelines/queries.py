@@ -3048,9 +3048,16 @@ def q76_decontaminate(sf_dir: str) -> Dataset:
 
     train = docs.map_batches(half(False), batch_format="pyarrow")
     ev = docs.map_batches(half(True), batch_format="pyarrow")
+    # eval slice is ~1/17 of the corpus: its gram stream scales with
+    # input bytes too (~8x expansion), so hint it as well — at real
+    # scale the probe would otherwise pin a multi-TB derived stream
+    # (at gate scale the hint stays under the threshold and the cheap
+    # broadcast plan is kept)
+    doc_bytes = _table_bytes(sf_dir, "documents")
     out = ngram_decontaminate(
         train, ev, "text", "doc_id", k=13,
-        size_hint_bytes=8 * _table_bytes(sf_dir, "documents"))
+        size_hint_bytes=8 * doc_bytes,
+        eval_size_hint_bytes=8 * doc_bytes // 17)
     return _sort_adaptive(out, "doc_id")
 
 
@@ -3405,7 +3412,12 @@ QUERIES = {
     "q80_quantile_select": q80_quantile_select,
     "q82_source_lang_regression": q82_source_lang_regression,
     "q83_lm_perplexity": q83_lm_perplexity,
-    # --- tier 3: gated in r4, rotated out this round ---
+    # --- tier 3: gated in r4, rotated out this round. q81 (new,
+    # rows-only) stays here deliberately: with exactly 50 gate slots,
+    # a rows-only driver row (rows>0 + schema) is weaker evidence than
+    # the oracled anchor it would displace; q81's authoritative gate is
+    # its naive-numpy-oracle pytest (tests/test_semantic_dedup.py) +
+    # selfcheck rows-ok, the q75-PCA standard. ---
     "q26_hashjoin_revenue": q26_hashjoin_revenue,
     "q41_url_canonical": q41_url_canonical,
     "q38_heavy_hitters": q38_heavy_hitters,

@@ -668,9 +668,6 @@ def ngram_decontaminate(train: Dataset, eval_ds: Dataset, text_col: str,
     Docs with fewer than k tokens have no k-grams and are never
     flagged (SQL parity: ``len(t) >= k``).
     """
-    train_grams = train.map_batches(
-        lambda b: _doc_grams(b, text_col, id_col, k),
-        batch_format="pyarrow")
     eval_grams = eval_ds.map_batches(
         lambda b: _doc_grams(b, text_col, id_col, k),
         batch_format="pyarrow")
@@ -708,9 +705,13 @@ def ngram_decontaminate(train: Dataset, eval_ds: Dataset, text_col: str,
             hit = (ev[pos] == g) if len(ev) else np.zeros(len(g), bool)
             if not hit.any():
                 return _empty()
-            # _doc_grams emits a doc's grams contiguously within one
-            # batch (rows never split across batches), so per-batch
-            # per-doc counts are already final
+            # per-doc counts are final because the gram table was built
+            # INSIDE this UDF from one text batch (see flag_text): a
+            # doc's grams are contiguous by construction. A separate
+            # gram stage would NOT guarantee this — Ray 2.49 splits a
+            # UDF output block exceeding target_max_block_size at an
+            # arbitrary row (reproduced), so a doc straddling the split
+            # would emit two partial rows.
             hid, hcnt = np.unique(ids[hit], return_counts=True)
             uids, uidx = np.unique(ids, return_index=True)
             first = uidx[np.searchsorted(uids, hid)]
@@ -720,11 +721,20 @@ def ngram_decontaminate(train: Dataset, eval_ds: Dataset, text_col: str,
                 "n_grams": pa.array(ns[first], pa.int64()),
             })
 
-        return train_grams.map_batches(flag, batch_format="pyarrow")
+        def flag_text(b: pa.Table) -> pa.Table:
+            return flag(_doc_grams(b, text_col, id_col, k))
+
+        return train.map_batches(flag_text, batch_format="pyarrow")
 
     # ---- distributed plan: bucket exchange on the gram hash ----------
+    # (block-split-safe: the per-doc finalize below AGGREGATES partial
+    # rows, unlike the broadcast plan's in-UDF contiguity)
     from batch_geocode_ray.stages.aggregates import grouped_aggregate
     from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    train_grams = train.map_batches(
+        lambda b: _doc_grams(b, text_col, id_col, k),
+        batch_format="pyarrow")
 
     def as_eval(b: pa.Table) -> pa.Table:
         return pa.table({

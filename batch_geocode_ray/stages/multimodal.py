@@ -466,8 +466,9 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
     x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
     x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
-    top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
-    bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+    r0, r1 = src[y0], src[y1]          # hoist the two row gathers
+    top = r0[:, x0] * (1 - fx) + r0[:, x1] * fx
+    bot = r1[:, x0] * (1 - fx) + r1[:, x1] * fx
     out = top * (1 - fy) + bot * fy
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out[:, :, 0] if squeeze else out
@@ -531,9 +532,14 @@ class ImageResize:
         idx = batch.column_names.index(self.image_col)
         out = batch.set_column(idx, self.image_col,
                                pa.array(out_payloads, pa.binary()))
+        # null-payload rows keep their ORIGINAL metadata — claiming the
+        # target dims for an image that doesn't exist would mislabel it
+        present = [p is not None for p in out_payloads]
+        new_w = [self.out_w if ok else w
+                 for ok, w in zip(present, widths)]
+        new_h = [self.out_h if ok else h
+                 for ok, h in zip(present, heights)]
         out = out.set_column(out.column_names.index("width"), "width",
-                             pa.array([self.out_w] * batch.num_rows,
-                                      pa.int64()))
+                             pa.array(new_w, pa.int64()))
         return out.set_column(out.column_names.index("height"), "height",
-                              pa.array([self.out_h] * batch.num_rows,
-                                       pa.int64()))
+                              pa.array(new_h, pa.int64()))

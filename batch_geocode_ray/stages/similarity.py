@@ -341,12 +341,26 @@ def cosine_neardup_pairs(ds: Dataset, vec_col: str, id_col: str,
 
 
 def _nearest_centroid(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """argmin_j ||x - c_j||^2 via the BLAS form (-2 x·cT + ||c||^2;
-    the x-norm term is constant per row): O(batch x k) memory instead
-    of the O(batch x k x d) broadcast tensor — the difference between
-    k=8 and the SemDeDup-scale k~50k both working."""
+    """argmin_j ||x - c_j||^2, candidate-select-then-exact-refine (the
+    kNN chord-then-haversine pattern): the BLAS form (-2 x·cT +
+    ||c||^2; the x-norm term is constant per row) ranks in O(batch x k)
+    memory instead of the O(batch x k x d) broadcast tensor — the
+    difference between k=8 and the SemDeDup-scale k~50k both working —
+    but its cancellation error (~|x||c|·eps) can flip near-equidistant
+    assignments vs the exact difference form, so the top-2 BLAS
+    candidates are re-scored exactly (O(batch x 2 x d)) and exact ties
+    keep the lower index, matching the naive oracle."""
+    k = c.shape[0]
+    if k == 1:
+        return np.zeros(m.shape[0], dtype=np.int64)
     d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
-    return d2.argmin(axis=1).astype(np.int64)
+    cand = np.argpartition(d2, 1, axis=1)[:, :2]
+    diff0 = m - c[cand[:, 0]]
+    diff1 = m - c[cand[:, 1]]
+    e0 = (diff0 * diff0).sum(axis=1)
+    e1 = (diff1 * diff1).sum(axis=1)
+    take1 = (e1 < e0) | ((e1 == e0) & (cand[:, 1] < cand[:, 0]))
+    return np.where(take1, cand[:, 1], cand[:, 0]).astype(np.int64)
 
 
 def kmeans_fit(ds: Dataset, vec_col: str, k: int = 8, iters: int = 10,

@@ -511,6 +511,24 @@ def cut_duplicate_spans(ds: Dataset, text_col: str, id_col: str,
         for t, blob in zip(ts, blobs):
             iv = np.frombuffer(blob, dtype=np.int64).reshape(-1, 2)
             tb = t.encode()
+            if len(tb) != len(t):
+                # non-ASCII: the byte-level gram windows can start/end
+                # mid-codepoint (a duplicated run may begin at a UTF-8
+                # continuation byte); snap each cut OUTWARD to codepoint
+                # boundaries so a partially covered character is removed
+                # whole and the kept bytes always re-decode. ASCII
+                # corpora take the fast path untouched (bytes == chars,
+                # which is also what keeps the SQL oracle's substr
+                # semantics aligned).
+                arr = np.frombuffer(tb, np.uint8)
+                starts = np.flatnonzero((arr & 0xC0) != 0x80)
+                s_col = starts[np.searchsorted(starts, iv[:, 0],
+                                               side="right") - 1]
+                hi = np.searchsorted(starts, iv[:, 1], side="left")
+                e_col = np.where(hi < len(starts),
+                                 starts[np.minimum(hi, len(starts) - 1)],
+                                 len(tb))
+                iv = np.stack([s_col, e_col], axis=1)
             kept, prev = [], 0
             for s_, e_ in iv:
                 kept.append(tb[prev:s_])

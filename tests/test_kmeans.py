@@ -58,3 +58,34 @@ def test_distributed_kmeans_matches_naive():
     for g in range(3):
         vals, counts = np.unique(clusters[labels == g], return_counts=True)
         assert counts.max() / counts.sum() > 0.95  # near-pure clusters
+
+
+def test_nearest_centroid_matches_exact_form_on_near_ties():
+    """The BLAS distance form alone can flip near-equidistant argmins
+    (cancellation ~|x||c|*eps); the top-2 exact refine must reproduce
+    the naive difference form everywhere, including large offsets."""
+    from batch_geocode_ray.stages.similarity import _nearest_centroid
+
+    rng = np.random.RandomState(17)
+    d = 24
+    base = rng.randn(d) * 1e6          # large common offset -> worst
+    c = base + rng.randn(5, d)         # cancellation for the BLAS form
+    # points sampled ON near-bisector planes between random centroid
+    # pairs, plus noise at many scales down to 1e-10
+    pts = []
+    for scale in (1.0, 1e-4, 1e-7, 1e-10):
+        i, j = rng.randint(0, 5, 2)
+        mid = (c[i] + c[j]) / 2
+        pts.append(mid + rng.randn(200, d) * scale)
+    m = np.vstack(pts)
+    want = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    got = _nearest_centroid(m, c)
+    # near-exact ties may legitimately differ only when the top-2 BLAS
+    # candidates both beat the naive winner by < refine precision; in
+    # that case the exact distances must still be equal to full float64
+    diff = got != want
+    if diff.any():
+        dg = ((m[diff] - c[got[diff]]) ** 2).sum(axis=1)
+        dw = ((m[diff] - c[want[diff]]) ** 2).sum(axis=1)
+        np.testing.assert_allclose(dg, dw, rtol=1e-12)
+    assert (got == want).mean() > 0.99

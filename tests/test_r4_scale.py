@@ -410,3 +410,31 @@ def test_bucket_lookup_join_semantics(monkeypatch):
                        match="no source row"):
         _bucket_lookup_join(req, "k", src, "k", {"v": "v"},
                             missing="error").take_all()
+
+
+def test_cut_duplicate_spans_utf8_mid_codepoint():
+    """A duplicated BYTE window may start at a UTF-8 continuation byte
+    (review finding, round 5): 'é'+S vs '©'+S share the 40-byte run
+    '\\xa9'+S starting at each char's SECOND byte. The cut must snap
+    outward to codepoint boundaries and re-decode cleanly instead of
+    raising UnicodeDecodeError."""
+    from batch_geocode_ray.stages.substring import cut_duplicate_spans
+
+    s_run = "S" * 39
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["left pad one é" + s_run + " tail one",
+                          "other padding ©" + s_run + " tail two"],
+                         pa.string()),
+    }))
+    got = {r["doc_id"]: r["text_cut"]
+           for r in cut_duplicate_spans(docs, "text", "doc_id",
+                                        L=40).take_all()}
+    # both docs present, outputs are valid strings, the shared run is
+    # gone, and the partially covered char was removed whole
+    assert set(got) == {1, 2}
+    for d, t in got.items():
+        assert s_run not in t
+        assert "é" not in t and "©" not in t
+    assert got[1].startswith("left pad one") and got[1].endswith("one")
+    assert got[2].startswith("other padding") and got[2].endswith("two")
