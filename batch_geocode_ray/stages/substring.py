@@ -301,6 +301,48 @@ def duplicate_substring_pairs(ds: Dataset, text_col: str, id_col: str,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _emit_dup_positions(g: pa.Table) -> pa.Table:
+    """Per h-bucket: the (doc, pos) rows whose (h, h2) gram occurs in
+    >= 2 distinct docs — the shared flagging kernel behind
+    :func:`duplicate_span_coverage` (measures the cut) and
+    :func:`cut_duplicate_spans` (applies it); one definition so the
+    flagging rule cannot silently diverge between the two."""
+    h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((doc, h2, h))
+    h, h2, doc, pos = h[order], h2[order], doc[order], pos[order]
+    seg = np.ones(len(h), dtype=bool)
+    seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
+    seg_id = np.cumsum(seg) - 1
+    # distinct docs per gram: count doc-changes inside each segment
+    doc_start = seg.copy()
+    doc_start[1:] |= doc[1:] != doc[:-1]
+    n_docs = np.bincount(seg_id, weights=doc_start).astype(np.int64)
+    keep = n_docs[seg_id] >= 2
+    return pa.table({"doc": pa.array(doc[keep], pa.int64()),
+                     "pos": pa.array(pos[keep], pa.int64())})
+
+
+def _dup_positions_stream(ds: Dataset, text_col: str, id_col: str,
+                          L: int,
+                          size_hint_bytes: int | None) -> Dataset:
+    """(doc, pos) rows of every duplicated L-gram window: per-position
+    gram stream -> ONE bucket exchange by gram hash -> shared flagging
+    kernel."""
+    from batch_geocode_ray.stages.windows import _bucketed_groups
+
+    return _bucketed_groups(
+        _stream(ds, text_col, id_col, L, with_positions=True),
+        _bucket_by_h, _emit_dup_positions,
+        size_hint_bytes=size_hint_bytes)
+
+
 def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
                             L: int = 40,
                             size_hint_bytes: int | None = None) -> Dataset:
@@ -316,32 +358,8 @@ def duplicate_span_coverage(ds: Dataset, text_col: str, id_col: str,
     starts). Two all-to-alls over O(duplicated positions) rows."""
     from batch_geocode_ray.stages.windows import _bucketed_groups
 
-    def emit_dup_positions(g: pa.Table) -> pa.Table:
-        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
-        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
-        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        order = np.lexsort((doc, h2, h))
-        h, h2, doc, pos = h[order], h2[order], doc[order], pos[order]
-        seg = np.ones(len(h), dtype=bool)
-        seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
-        seg_id = np.cumsum(seg) - 1
-        # distinct docs per gram: count doc-changes inside each segment
-        doc_start = seg.copy()
-        doc_start[1:] |= doc[1:] != doc[:-1]
-        n_docs = np.bincount(seg_id, weights=doc_start).astype(np.int64)
-        keep = n_docs[seg_id] >= 2
-        return pa.table({"doc": pa.array(doc[keep], pa.int64()),
-                         "pos": pa.array(pos[keep], pa.int64())})
-
-    dup_pos = _bucketed_groups(
-        _stream(ds, text_col, id_col, L, with_positions=True),
-        _bucket_by_h, emit_dup_positions,
-        size_hint_bytes=size_hint_bytes)
+    dup_pos = _dup_positions_stream(ds, text_col, id_col, L,
+                                    size_hint_bytes)
 
     def bucket_by_doc(b: pa.Table, nb: int) -> pa.Table:
         d = np.asarray(b["doc"].to_numpy(zero_copy_only=False)) \
@@ -412,31 +430,8 @@ def cut_duplicate_spans(ds: Dataset, text_col: str, id_col: str,
     from batch_geocode_ray.stages.joins import semi_anti_join
     from batch_geocode_ray.stages.windows import _bucketed_groups
 
-    def emit_dup_positions(g: pa.Table) -> pa.Table:
-        h = np.asarray(g["h"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
-        h2 = np.asarray(g["h2"].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
-        doc = np.asarray(g["doc"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        pos = np.asarray(g["pos"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        order = np.lexsort((doc, h2, h))
-        h, h2, doc, pos = h[order], h2[order], doc[order], pos[order]
-        seg = np.ones(len(h), dtype=bool)
-        seg[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
-        seg_id = np.cumsum(seg) - 1
-        doc_start = seg.copy()
-        doc_start[1:] |= doc[1:] != doc[:-1]
-        n_docs = np.bincount(seg_id, weights=doc_start).astype(np.int64)
-        keep = n_docs[seg_id] >= 2
-        return pa.table({"doc": pa.array(doc[keep], pa.int64()),
-                         "pos": pa.array(pos[keep], pa.int64())})
-
-    dup_pos = _bucketed_groups(
-        _stream(ds, text_col, id_col, L, with_positions=True),
-        _bucket_by_h, emit_dup_positions,
-        size_hint_bytes=size_hint_bytes)
+    dup_pos = _dup_positions_stream(ds, text_col, id_col, L,
+                                    size_hint_bytes)
 
     def bucket_by_doc(b: pa.Table, nb: int) -> pa.Table:
         d = np.asarray(b["doc"].to_numpy(zero_copy_only=False)) \

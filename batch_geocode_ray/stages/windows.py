@@ -476,6 +476,45 @@ def grouped_transition_counts(ds: Dataset, key_col: str, ts_col: str,
                              sort_keys=["from_type", "to_type"])
 
 
+def _shuffle_narrow_tokens(b: pa.Table, id_col: str, text_col: str,
+                           mult: int, op_name: str,
+                           group_col: str | None = None) -> pa.Table:
+    """Shared narrow pass behind the Blelloch-scan operators
+    (:func:`sequence_pack_offsets`, :func:`grouped_token_budget_sample`):
+    (id, [group,] shuffle_key, n_tokens) — the Knuth shuffle key
+    ``(id * mult) mod 2^32`` and the whitespace token count
+    (``count(' ') + 1``; SQL parity: ``len(string_split(text, ' '))``).
+    ONE definition: both operators' SQL oracles depend on the exact
+    same key formula and tokenization."""
+    ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    if len(ids) and ids.min() < 0:
+        raise ValueError(f"{op_name}: ids must be >= 0")
+    key = (ids.astype(np.uint64) * np.uint64(mult)) \
+        & np.uint64(0xFFFFFFFF)
+    toks = pc.add(pc.count_substring(
+        b[text_col].combine_chunks(), " "), 1).cast(pa.int64())
+    cols: dict = {id_col: pa.array(ids, pa.int64())}
+    if group_col is not None:
+        cols[group_col] = b[group_col]
+    cols["shuffle_key"] = pa.array(key.astype(np.int64), pa.int64())
+    cols["n_tokens"] = toks
+    return pa.table(cols)
+
+
+def _range_bucket_fn(nb: int):
+    """Bucket the uniform 32-bit shuffle-key space into ``nb``
+    CONTIGUOUS slices (``(key * nb) >> 32``) — contiguity is what lets
+    a per-bucket local scan + broadcast base produce exact global
+    prefix sums."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["shuffle_key"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64).astype(np.uint64)
+        bkt = ((key * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bkt, pa.int64()))
+    return add_bucket
+
+
 def sequence_pack_offsets(ds: Dataset, id_col: str, text_col: str,
                           seq_len: int = 1024,
                           mult: int = 2654435761,
@@ -531,19 +570,8 @@ def sequence_pack_offsets(ds: Dataset, id_col: str, text_col: str,
     )
 
     def narrow(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        if len(ids) and ids.min() < 0:
-            raise ValueError("sequence_pack_offsets: ids must be >= 0")
-        key = (ids.astype(np.uint64) * np.uint64(mult)) \
-            & np.uint64(0xFFFFFFFF)
-        toks = pc.add(pc.count_substring(
-            b[text_col].combine_chunks(), " "), 1).cast(pa.int64())
-        return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
-            "n_tokens": toks,
-        })
+        return _shuffle_narrow_tokens(b, id_col, text_col, mult,
+                                      "sequence_pack_offsets")
 
     def pack(t: pa.Table, base: int) -> pa.Table:
         ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
@@ -576,11 +604,7 @@ def sequence_pack_offsets(ds: Dataset, id_col: str, text_col: str,
 
     nb = n_buckets or adaptive_bucket_count(approx)
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        key = np.asarray(b["shuffle_key"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64).astype(np.uint64)
-        bkt = ((key * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
-        return b.append_column("_bucket", pa.array(bkt, pa.int64()))
+    add_bucket = _range_bucket_fn(nb)
 
     bucketed = m.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -644,20 +668,9 @@ def grouped_token_budget_sample(ds: Dataset, id_col: str, text_col: str,
     )
 
     def narrow(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        if len(ids) and ids.min() < 0:
-            raise ValueError("grouped_token_budget_sample: ids must be >= 0")
-        key = (ids.astype(np.uint64) * np.uint64(mult)) \
-            & np.uint64(0xFFFFFFFF)
-        toks = pc.add(pc.count_substring(
-            b[text_col].combine_chunks(), " "), 1).cast(pa.int64())
-        return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            group_col: b[group_col],
-            "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
-            "n_tokens": toks,
-        })
+        return _shuffle_narrow_tokens(b, id_col, text_col, mult,
+                                      "grouped_token_budget_sample",
+                                      group_col=group_col)
 
     def scan(t: pa.Table, base_for) -> pa.Table:
         """Per-group exclusive scan in (key, id) order + budget filter.
@@ -712,11 +725,7 @@ def grouped_token_budget_sample(ds: Dataset, id_col: str, text_col: str,
 
     nb = n_buckets or adaptive_bucket_count(approx)
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        key = np.asarray(b["shuffle_key"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64).astype(np.uint64)
-        bkt = ((key * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
-        return b.append_column("_bucket", pa.array(bkt, pa.int64()))
+    add_bucket = _range_bucket_fn(nb)
 
     bucketed = m.map_batches(add_bucket, batch_format="pyarrow")
 
