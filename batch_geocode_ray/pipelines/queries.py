@@ -3289,6 +3289,35 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+def q84_source_length_quantiles(sf_dir: str) -> Dataset:
+    """Per-source interpolated length quartiles (SQL
+    ``quantile_cont`` / ``percentile_cont`` family) — the "what does
+    each slice's length distribution look like" curation dashboard.
+    Mergeable value->count partials ride the exchange (one row per
+    distinct (source, n_chars) pair), never the documents; the
+    interpolation runs on the merged count table. Quartile points
+    (0.25/0.5/0.75) are binary-exact so the h = q*(n-1) rank is
+    IEEE-identical to DuckDB's."""
+    from batch_geocode_ray.stages.aggregates import grouped_quantile_cont
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = grouped_quantile_cont(docs, ["source"], "n_chars",
+                                [0.25, 0.5, 0.75], ["p25", "p50", "p75"])
+    return _round_cols(_sort_adaptive(out, "source"),
+                       {"p25": 4, "p50": 4, "p75": 4})
+
+
+SQL_Q84 = f"""
+SELECT source,
+       {_sql_fixed('quantile_cont(n_chars, 0.25)')} AS p25,
+       {_sql_fixed('quantile_cont(n_chars, 0.50)')} AS p50,
+       {_sql_fixed('quantile_cont(n_chars, 0.75)')} AS p75
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q81_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023) over
     the embedding corpus: k-means clusters the space, then each cluster
@@ -3451,6 +3480,7 @@ QUERIES = {
     "q74_dup_span_coverage": q74_dup_span_coverage,
     "q75_embedding_pca": q75_embedding_pca,
     "q81_semantic_dedup": q81_semantic_dedup,
+    "q84_source_length_quantiles": q84_source_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -3528,6 +3558,7 @@ ORACLE_SQL = {
     "q80_quantile_select": SQL_Q80,
     "q82_source_lang_regression": SQL_Q82,
     "q83_lm_perplexity": SQL_Q83,
+    "q84_source_length_quantiles": SQL_Q84,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

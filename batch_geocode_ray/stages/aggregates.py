@@ -466,6 +466,92 @@ def int_quantile_threshold(ds: Dataset, value_col: str, q: float) -> int:
     return int(v[np.searchsorted(cum, rank + 1)])
 
 
+def grouped_quantile_cont(ds: Dataset, keys: list[str], value_col: str,
+                          qs: list[float],
+                          out_names: list[str] | None = None) -> Dataset:
+    """Per-group INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``) of an integer column, from the same mergeable
+    value->count partials as :func:`int_quantile_threshold` — the
+    exchange carries one row per DISTINCT (group, value) pair, never
+    the input rows. Same partitioning assumption: the score's
+    cardinality is bounded (doc lengths, integer quality scores,
+    ~10^6 distinct), which keeps the merged count table small even at
+    10^12 input rows; a continuous score needs the quantile-sketch
+    path (q44) and its error bound instead.
+
+    Semantics match DuckDB/Postgres ``percentile_cont``: for a group
+    of n values sorted ascending, the q-quantile sits at
+    ``h = q * (n - 1)`` and interpolates linearly between the
+    floor(h)-th and ceil(h)-th values. Prefer binary-exact q (0.25,
+    0.5, 0.75): h is then IEEE-identical across engines, so
+    floor/ceil cannot disagree when h lands on an integer. Nulls in
+    ``value_col`` are ignored (SQL aggregate semantics).
+    """
+    if not qs:
+        raise ValueError("grouped_quantile_cont: no quantiles requested")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"grouped_quantile_cont: q={q} outside [0, 1]")
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100)):02d}" for q in qs]
+    if len(out_names) != len(qs):
+        raise ValueError(
+            "grouped_quantile_cont: out_names/qs length mismatch")
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[value_col]))
+
+    counts = grouped_aggregate(
+        ds.select_columns(keys + [value_col])
+          .map_batches(drop_null, batch_format="pyarrow"),
+        keys + [value_col], [(value_col, "count", "_n")],
+        merge="single", sort_keys=keys + [value_col])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            out = {k: b[k] for k in keys}
+            for nm in out_names:
+                out[nm] = pa.array([], pa.float64())
+            return pa.table(out)
+        # merge="single" delivers ONE block sorted by keys + value:
+        # group segments are contiguous, values ascending within each.
+        n_rows = b.num_rows
+        change = np.zeros(n_rows, dtype=bool)
+        change[0] = True
+        if n_rows > 1:
+            for k in keys:
+                col = b[k].combine_chunks()
+                change[1:] |= ~np.asarray(
+                    pc.equal(col.slice(1), col.slice(0, n_rows - 1))
+                    .to_numpy(zero_copy_only=False))
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [n_rows]])
+        v = np.asarray(b[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        c = np.asarray(b["_n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        res = np.empty((len(starts), len(qs)), dtype=np.float64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):  # per GROUP —
+            # bounded group count by the module's grouping contract;
+            # work within is vectorized over the distinct values
+            cum = np.cumsum(c[s:e])
+            total = int(cum[-1])
+            for qi, q in enumerate(qs):
+                h = q * (total - 1)
+                lo = int(np.floor(h))
+                hi = int(np.ceil(h))
+                vlo = v[s + int(np.searchsorted(cum, lo + 1))]
+                vhi = v[s + int(np.searchsorted(cum, hi + 1))]
+                res[gi, qi] = vlo + (h - lo) * (vhi - vlo)
+        out = {k: b[k].take(pa.array(starts, pa.int64())) for k in keys}
+        for qi, nm in enumerate(out_names):
+            out[nm] = pa.array(res[:, qi], pa.float64())
+        return pa.table(out)
+
+    return counts.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def grouped_bivariate_stats(ds: Dataset, keys: list[str],
                             x_col: str, y_col: str,
                             merge: str = "single",
