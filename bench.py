@@ -299,6 +299,18 @@ def main():
         # hypervisor's minute-scale weather averages out
         pairs = [(2, 8, max(SCALING_PAGES // 2, 600_000)),
                  (8, 32, SCALING_PAGES * 2)]
+        # BGR_SCALING_PAIRS="2:8" (or "2:8;8:32", default) selects which
+        # pairs run — the (2,8) pair alone is the north-rule measurement
+        # and finishes in a fraction of the full protocol's wall time,
+        # which matters when chasing a short healthy-weather window.
+        sel = os.environ.get("BGR_SCALING_PAIRS")
+        if sel:
+            want = {tuple(int(c) for c in p.split(":"))
+                    for p in sel.split(";")}
+            pairs = [p for p in pairs if (p[0], p[1]) in want]
+            if not pairs:
+                raise SystemExit(f"BGR_SCALING_PAIRS={sel!r} matches none "
+                                 f"of the defined pairs (2:8, 8:32)")
         repeats = int(os.environ.get("BGR_SCALING_REPEATS", "1"))
         for _, _, n in pairs:
             subprocess.run(
