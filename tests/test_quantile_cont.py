@@ -59,6 +59,28 @@ def test_repeated_values_and_nulls(ray_session):
     assert got["med"][0].as_py() == pytest.approx(5.0)
 
 
+def test_multi_key_string_groups(ray_session):
+    # composite (string, int) grouping: segments split on EITHER key
+    rng = np.random.RandomState(11)
+    n = 800
+    s = np.array(["web", "wiki", "code"])[rng.randint(0, 3, n)]
+    k2 = rng.randint(0, 2, n)
+    v = rng.randint(1, 100, n)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(s), "k2": pa.array(k2, pa.int64()),
+        "v": pa.array(v, pa.int64())})).repartition(6)
+    out = grouped_quantile_cont(ds, ["src", "k2"], "v", [0.5], ["med"])
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    t = t.sort_by([("src", "ascending"), ("k2", "ascending")])
+    assert t.num_rows == 6
+    for i in range(6):
+        src, kk = t["src"][i].as_py(), t["k2"][i].as_py()
+        vs = v[(s == src) & (k2 == kk)]
+        assert t["med"][i].as_py() == pytest.approx(
+            np.percentile(vs, 50, method="linear"), abs=1e-9)
+
+
 def test_validation_errors(ray_session):
     t = pa.table({"g": pa.array([1], pa.int64()),
                   "v": pa.array([1], pa.int64())})
