@@ -3318,6 +3318,28 @@ ORDER BY source
 """
 
 
+def q85_length_percent_rank(sf_dir: str) -> Dataset:
+    """Rank-CDF normalization of a per-document score (here length) —
+    ``percent_rank() OVER (ORDER BY n_chars)`` without the global sort:
+    distinct-value count partials ride the exchange, the driver builds
+    the value -> rows-strictly-below table once, broadcasts it, and the
+    scoring pass streams with zero shuffles. The calibration step
+    before any "keep the top X% by quality" threshold."""
+    from batch_geocode_ray.stages.aggregates import global_percent_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = global_percent_rank(docs, "n_chars", "pct_rank")
+    return _round_cols(_sort_adaptive(out, "doc_id"), {"pct_rank": 4})
+
+
+SQL_Q85 = f"""
+SELECT doc_id, n_chars,
+       {_sql_fixed('percent_rank() OVER (ORDER BY n_chars)')} AS pct_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q81_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023) over
     the embedding corpus: k-means clusters the space, then each cluster
@@ -3481,6 +3503,7 @@ QUERIES = {
     "q75_embedding_pca": q75_embedding_pca,
     "q81_semantic_dedup": q81_semantic_dedup,
     "q84_source_length_quantiles": q84_source_length_quantiles,
+    "q85_length_percent_rank": q85_length_percent_rank,
 }
 
 ORACLE_SQL = {
@@ -3559,6 +3582,7 @@ ORACLE_SQL = {
     "q82_source_lang_regression": SQL_Q82,
     "q83_lm_perplexity": SQL_Q83,
     "q84_source_length_quantiles": SQL_Q84,
+    "q85_length_percent_rank": SQL_Q85,
     # Deliberately rows-only (each justified):
     #   q19 simhash — hamming distances of a custom 64-bit hash are not
     #       SQL-recomputable; exactness (pigeonhole recall <=3 bits) is

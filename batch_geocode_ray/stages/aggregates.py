@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ray.data import Dataset
 from ray.data.aggregate import Max, Min, Sum
@@ -464,6 +465,62 @@ def int_quantile_threshold(ds: Dataset, value_col: str, q: float) -> int:
     rank = min(max(int(np.ceil(q * total)) - 1, 0), total - 1)
     cum = np.cumsum(n)
     return int(v[np.searchsorted(cum, rank + 1)])
+
+
+def global_percent_rank(ds: Dataset, value_col: str,
+                        out_col: str = "pct_rank") -> Dataset:
+    """SQL ``percent_rank() OVER (ORDER BY value)`` at corpus scale —
+    the rank-CDF normalization used to calibrate quality/length scores
+    before thresholding. A naive plan is a global sort plus an ordered
+    window (two all-to-alls over every row); this one is mergeable
+    value->count partials (same shape as
+    :func:`int_quantile_threshold` — the exchange carries one row per
+    DISTINCT value, never the inputs), a driver-built
+    value -> rows-strictly-below table over the bounded-cardinality
+    integer score, ONE ``ray.put`` broadcast, and a zero-shuffle
+    scoring pass (one searchsorted probe per batch).
+
+    Tie semantics match SQL RANK: every row of a tied value shares
+    ``pct = rows_strictly_below / (n - 1)`` (0.0 when n == 1). The
+    division is the same two-integer float64 division DuckDB performs,
+    so results are bit-identical. Nulls in ``value_col`` are rejected
+    (SQL window functions ORDER nulls instead; callers filter first).
+    """
+    counts = grouped_aggregate(
+        ds.select_columns([value_col]), [value_col],
+        [(value_col, "count", "_n")], merge="single",
+        sort_keys=[value_col])
+    vs, ns = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        col = b[value_col]
+        if col.null_count:
+            raise ValueError(
+                f"global_percent_rank: null values in {value_col!r}; "
+                "filter nulls first (SQL windows order them instead)")
+        vs.append(np.asarray(col.to_numpy(zero_copy_only=False),
+                             dtype=np.int64))
+        ns.append(np.asarray(b["_n"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64))
+    if not vs or not sum(len(v) for v in vs):
+        raise ValueError("global_percent_rank: empty input")
+    v = np.concatenate(vs)
+    n = np.concatenate(ns)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    total = int(n.sum())
+    below = np.concatenate([[0], np.cumsum(n)[:-1]])
+    pct = (below / float(total - 1) if total > 1
+           else np.zeros(len(v), dtype=np.float64))
+    ref = ray.put((v, pct))
+
+    def score(b: pa.Table) -> pa.Table:
+        v_sorted, p = ray.get(ref)  # plasma-cached after first fetch
+        x = np.asarray(b[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        idx = np.searchsorted(v_sorted, x)  # exact: every value is in v
+        return b.append_column(out_col, pa.array(p[idx], pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def grouped_quantile_cont(ds: Dataset, keys: list[str], value_col: str,
