@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "q78_pack_sequences",       # distributed ordered prefix sum (Blelloch)
     "q79_mixture_budget",       # grouped scan: per-source token budgets
     "q80_quantile_select",      # mergeable exact quantile + stream filter
+    "q84_source_length_quantiles",  # grouped percentile_cont from count partials
+    "q85_length_percent_rank",  # rank-CDF broadcast, zero-shuffle scoring
 ]
 
 
