@@ -542,7 +542,9 @@ def grouped_quantile_cont(ds: Dataset, keys: list[str], value_col: str,
     floor(h)-th and ceil(h)-th values. Prefer binary-exact q (0.25,
     0.5, 0.75): h is then IEEE-identical across engines, so
     floor/ceil cannot disagree when h lands on an integer. Nulls in
-    ``value_col`` are ignored (SQL aggregate semantics).
+    ``value_col`` are ignored (SQL aggregate semantics); group keys
+    are assumed non-null (the house-wide exchange convention — the
+    segment boundary scan treats null-vs-null as a boundary).
     """
     if not qs:
         raise ValueError("grouped_quantile_cont: no quantiles requested")
